@@ -1,0 +1,451 @@
+"""Solver entry point: `armon(params) -> SolverStats`.
+
+Rebuild of `src/solver.jl:406-516` (init, conservation checks, time loop,
+output) on top of three drivers:
+
+- **jit driver**: the whole run is one XLA program (`lax.while_loop` of
+  cycles) — the performance path, the analog of the reference's
+  async/blocked hot loop.
+- **cycle driver**: Python loop calling one jitted cycle at a time — used
+  when per-cycle host work is requested (conservation printing `silent<=1`,
+  `animation_step`), like the reference's synchronous `solver_cycle`.
+- **step driver**: every solver sub-step runs separately with
+  `step_checkpoint` hooks between — the `compare`/`is_ref` mode of
+  `src/io.jl:185-227` / `src/solver.jl:288-320`.
+
+All three trace the same op functions, so they are bit-identical.
+"""
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.enums import Axis
+from ..utils.errors import SolverException, solver_error
+from ..params import ArmonParameters
+from ..core.state import State
+from ..ops.init import init_state
+from ..ops.eos import update_eos
+from ..ops.riemann import numerical_fluxes
+from ..ops.update import cell_update
+from ..ops.projection import projection_remap
+from ..ops.reductions import conservation_vars
+from .step import make_time_loop, solver_cycle, ghost_exchange
+from .splitting import split_schedules
+from .timestep import next_time_step
+
+
+@dataclass
+class SolverStats:
+    """`src/solver.jl:13-23`."""
+    final_time: float
+    last_dt: float
+    cycles: int
+    solve_time: float            # seconds
+    cell_count: int
+    giga_cells_per_sec: float    # cell-cycles per second / 1e9
+    data: Optional[State] = None
+    timer: Optional[dict] = None
+    grid_log: Optional[dict] = None
+
+    def __repr__(self):
+        return (f"Solver stats:\n"
+                f" - final time:  {self.final_time:.18f}\n"
+                f" - last dt:     {self.last_dt:.18f}\n"
+                f" - cycles:      {self.cycles}\n"
+                f" - performance: {self.giga_cells_per_sec * 1e3:.3f} x10^6 "
+                f"cell-cycles/sec ({self.solve_time:.3f} sec, "
+                f"{self.cell_count} cells)")
+
+
+# ---------------------------------------------------------------- SPMD glue
+
+def _mesh_and_specs(params):
+    from ..parallel.mesh import make_mesh, shard_state_spec
+    from jax.sharding import PartitionSpec as P
+    cfg = params.config
+    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices)
+    spec = shard_state_spec(cfg.axis_names)
+    state_spec = State(*([spec] * len(State._fields)))
+    return mesh, state_spec, P()
+
+
+def _shard(params, fn, in_specs, out_specs):
+    """Wrap `fn` in shard_map over the params' mesh."""
+    mesh, _, _ = _mesh_and_specs(params)
+    return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+
+
+def make_init(params):
+    """Jitted initial-condition builder (single-device or sharded).
+    The per-shard global origin is derived from the mesh coordinates, the
+    analog of `N_origin` (`src/parameters.jl:727`)."""
+    cfg = params.config
+    if not cfg.spmd:
+        return jax.jit(lambda: init_state(cfg))
+
+    def init_shard():
+        from jax import lax
+        ix = lax.axis_index(cfg.axis_names[0])
+        iy = lax.axis_index(cfg.axis_names[1])
+        gx = ix * cfg.n_local[0]
+        gy = iy * cfg.n_local[1]
+        return init_state(cfg, global_pos=(gx, gy))
+
+    _, state_spec, _ = _mesh_and_specs(params)
+    return _shard(params, init_shard, in_specs=(), out_specs=state_spec)
+
+
+def make_conservation(params):
+    cfg = params.config
+    if not cfg.spmd:
+        return jax.jit(lambda s: conservation_vars(cfg, s))
+
+    def cons(state):
+        from jax import lax
+        m, e = conservation_vars(cfg, state)
+        # MPI.Allreduce(SUM) analog (src/reductions.jl:318-320)
+        m = lax.psum(m, cfg.axis_names)
+        e = lax.psum(e, cfg.axis_names)
+        return m, e
+
+    _, state_spec, rep = _mesh_and_specs(params)
+    return _shard(params, cons, in_specs=(state_spec,), out_specs=(rep, rep))
+
+
+def make_jit_loop(params):
+    cfg = params.config
+    loop = make_time_loop(cfg)
+    if not cfg.spmd:
+        return jax.jit(loop)
+    _, state_spec, rep = _mesh_and_specs(params)
+    return _shard(params, loop, in_specs=(state_spec,),
+                  out_specs=(state_spec, rep, rep, rep, rep))
+
+
+def make_cycle(params):
+    cfg = params.config
+
+    def cycle(state, dt_prev, cycle_idx):
+        return solver_cycle(cfg, state, dt_prev, cycle_idx)
+
+    if not cfg.spmd:
+        return jax.jit(cycle)
+    _, state_spec, rep = _mesh_and_specs(params)
+    return _shard(params, cycle,
+                  in_specs=(state_spec, rep, rep),
+                  out_specs=(state_spec, rep, rep, rep))
+
+
+# ------------------------------------------------------------------ drivers
+
+def _python_cycle_driver(params, state, checkpoint=None):
+    """Per-cycle (and optionally per-step) host loop. Returns
+    (state, t, cycles, last_dt)."""
+    cfg = params.config
+    T = cfg.dtype.type
+    conservation = make_conservation(params) if params.silent <= 1 else None
+
+    if checkpoint is None:
+        cycle_fn = make_cycle(params)
+    else:
+        cycle_fn = None
+        step_fns = _make_step_fns(params)
+
+    # EOS_init (src/solver.jl:291-295)
+    eos_fn = jax.jit(lambda s: update_eos(cfg, s)) if not cfg.spmd else \
+        _shard(params, lambda s: update_eos(cfg, s),
+               in_specs=(_mesh_and_specs(params)[1],),
+               out_specs=_mesh_and_specs(params)[1])
+
+    t = T(0.0)
+    cycles = 0
+    dt_prev = T(0.0)
+
+    if checkpoint is not None and checkpoint("init_test", state, Axis.X, 0.0, 0):
+        return state, float(t), cycles, float(dt_prev)
+
+    if cfg.maxcycle > 0:
+        state = eos_fn(state)
+        if checkpoint is not None and checkpoint("EOS_init", state, Axis.X, 0.0, 0):
+            return state, float(t), cycles, float(dt_prev)
+
+    while t < T(cfg.maxtime) and cycles < cfg.maxcycle:
+        if checkpoint is None:
+            state, dt_use, dt_next, ok = cycle_fn(state, dt_prev, np.int32(cycles))
+        else:
+            state, dt_use, dt_next, ok, stop = _checkpointed_cycle(
+                params, step_fns, state, dt_prev, cycles, checkpoint)
+            if stop:
+                return state, float(t), cycles, float(dt_next)
+        if not bool(ok):
+            solver_error("time", f"Invalid time step for cycle {cycles}: {dt_next}")
+        t = t + T(dt_use)
+        cycles += 1
+        dt_prev = dt_next
+
+        if params.silent <= 1:
+            m, e = conservation(state)
+            dM = abs(params.initial_mass - float(m)) / params.initial_mass * 100
+            dE = abs(params.initial_energy - float(e)) / params.initial_energy * 100
+            print(f"Cycle {cycles:4d}: dt = {float(dt_use):.18f}, "
+                  f"t = {float(t):.18f}, |dM| = {dM:8.6g}%, |dE| = {dE:8.6g}%")
+
+        if params.animation_step != 0 and (cycles - 1) % params.animation_step == 0:
+            from ..io.output import write_state_file
+            frame = (cycles - 1) // params.animation_step
+            path = os.path.join("anim", f"{params.output_file}_{frame:03d}")
+            write_state_file(cfg, gather_state(params, state), path,
+                             precision=params.output_precision)
+
+    return state, float(t), cycles, float(dt_prev)
+
+
+def _make_step_fns(params):
+    """Individually-jitted solver sub-steps for the checkpoint/compare driver."""
+    cfg = params.config
+
+    def mk(f):
+        if not cfg.spmd:
+            return jax.jit(f)
+        _, ss, rep = _mesh_and_specs(params)
+        return None  # compare mode is single-device only for now
+
+    fns = {}
+    for axis in (Axis.X, Axis.Y):
+        fns[("eos", axis)] = jax.jit(lambda s, a=axis: update_eos(cfg, s))
+        fns[("bc", axis)] = jax.jit(lambda s, a=axis: ghost_exchange(cfg, s, a))
+        fns[("fluxes", axis)] = jax.jit(
+            lambda s, dt, a=axis: numerical_fluxes(cfg, s, a, dt))
+        fns[("update", axis)] = jax.jit(
+            lambda s, dt, a=axis: cell_update(cfg, s, a, dt))
+        fns[("remap", axis)] = jax.jit(
+            lambda s, dt, a=axis: projection_remap(cfg, s, a, dt))
+    fns["dt"] = jax.jit(lambda s, dtp, cyc: next_time_step(cfg, s, dtp, cyc))
+    return fns
+
+
+def _checkpointed_cycle(params, fns, state, dt_prev, cycle_idx, checkpoint):
+    """`solver_cycle` with a checkpoint after every sub-step
+    (`src/solver.jl:288-320`)."""
+    cfg = params.config
+    T = cfg.dtype.type
+    dt_use, dt_next, ok = fns["dt"](state, dt_prev, np.int32(cycle_idx))
+    if checkpoint("time_step", state, Axis.X, float(dt_use), cycle_idx):
+        return state, dt_use, dt_next, ok, True
+
+    even, odd = split_schedules(cfg.splitting)
+    schedule = even if cycle_idx % 2 == 0 else odd
+    for axis, factor in schedule:
+        dt = T(dt_use) * T(factor)
+        state = fns[("eos", axis)](state)
+        if checkpoint("EOS", state, axis, dt, cycle_idx):
+            return state, dt_use, dt_next, ok, True
+        state = fns[("bc", axis)](state)
+        if checkpoint("boundary_conditions", state, axis, dt, cycle_idx):
+            return state, dt_use, dt_next, ok, True
+        state = fns[("fluxes", axis)](state, dt)
+        if checkpoint("numerical_fluxes", state, axis, dt, cycle_idx):
+            return state, dt_use, dt_next, ok, True
+        state = fns[("update", axis)](state, dt)
+        if checkpoint("cell_update", state, axis, dt, cycle_idx):
+            return state, dt_use, dt_next, ok, True
+        state = fns[("remap", axis)](state, dt)
+        if checkpoint("projection_remap", state, axis, dt, cycle_idx):
+            return state, dt_use, dt_next, ok, True
+    return state, dt_use, dt_next, ok, False
+
+
+def gather_state(params, state: State) -> State:
+    """Bring a (possibly sharded, blocked-layout) state back to a host-side
+    globally-padded State — `device_to_host!` (`src/blocking/block_grid.jl:712-737`)."""
+    cfg = params.config
+    state = jax.device_get(state)
+    if not cfg.spmd:
+        return State(*[np.asarray(a) for a in state])
+
+    g = cfg.nghost
+    lr, lc = cfg.local_shape
+    px, py = cfg.proc_dims
+    nx, ny = cfg.n_global
+
+    def unblock(a):
+        a = np.asarray(a).reshape(py, lr, px, lc)
+        out = np.zeros((ny + 2 * g, nx + 2 * g), cfg.dtype)
+        # interior from each block's real cells
+        real = a[:, g:lr - g, :, g:lc - g]
+        out[g:-g, g:-g] = real.reshape(py * (lr - 2 * g), px * (lc - 2 * g))
+        # global ghost bands come from the border blocks
+        out[:g, g:-g] = a[0, :g, :, g:lc - g].reshape(g, nx)
+        out[-g:, g:-g] = a[-1, lr - g:, :, g:lc - g].reshape(g, nx)
+        out[g:-g, :g] = a[:, g:lr - g, 0, :g].reshape(ny, g)
+        out[g:-g, -g:] = a[:, g:lr - g, -1, lc - g:].reshape(ny, g)
+        return out
+
+    return State(*[unblock(a) for a in state])
+
+
+# -------------------------------------------------------------------- armon
+
+def armon(params: ArmonParameters, checkpoint=None) -> SolverStats:
+    """Main entry point (`src/solver.jl:406-516`)."""
+    cfg = params.config
+    _ensure_x64(cfg)
+
+    if params.silent < 3:
+        print(params)
+
+    t_start = time.perf_counter()
+    init_fn = make_init(params)
+    state = jax.block_until_ready(init_fn())
+
+    if params.check_result or params.silent <= 1:
+        m, e = make_conservation(params)(state)
+        params.initial_mass, params.initial_energy = float(m), float(e)
+
+    solve_start = time.perf_counter()
+    use_python_loop = (params.silent <= 1 or params.animation_step != 0
+                       or params.compare or checkpoint is not None)
+    if params.compare and checkpoint is None:
+        checkpoint = make_file_checkpoint(params)
+
+    if use_python_loop:
+        state, final_t, cycles, last_dt = _python_cycle_driver(
+            params, state, checkpoint=checkpoint)
+    else:
+        loop = make_jit_loop(params)
+        state, t, cycles, last_dt, ok = loop(state)
+        state = jax.block_until_ready(state)
+        if not bool(ok):
+            solver_error("time", f"Invalid time step at cycle {int(cycles)}")
+        final_t, cycles, last_dt = float(t), int(cycles), float(last_dt)
+
+    solve_time = time.perf_counter() - solve_start
+
+    # Final conservation check (src/solver.jl:467-490)
+    if params.check_result and params.test.is_conservative and cycles > 0:
+        m, e = make_conservation(params)(state)
+        dm = abs(float(m) - params.initial_mass) / params.initial_mass
+        de = abs(float(e) - params.initial_energy) / params.initial_energy
+        rtol = 1e-2 * min(1.0, final_t / params.test.default_max_time)
+        if not (_isapprox0(dm, 1e-12, rtol) and _isapprox0(de, 1e-12, rtol)):
+            import warnings
+            warnings.warn(
+                f"Mass and energy are not constant, the solution might not be "
+                f"valid!\n|dM|/M = {dm:.6g}\n|dE|/E = {de:.6g}")
+
+    cell_count = cfg.n_global[0] * cfg.n_global[1]
+    grind = solve_time / max(cycles, 1) / cell_count
+    stats = SolverStats(
+        final_time=final_t,
+        last_dt=last_dt,
+        cycles=cycles,
+        solve_time=solve_time,
+        cell_count=cell_count,
+        giga_cells_per_sec=1.0 / grind / 1e9 if cycles > 0 else 0.0,
+        data=state if params.return_data else None,
+        timer={"init": solve_start - t_start, "solve": solve_time}
+        if params.measure_time else None,
+    )
+
+    if params.write_output:
+        from ..io.output import write_state_file
+        os.makedirs(params.output_dir, exist_ok=True)
+        path = os.path.join(params.output_dir, params.output_file)
+        write_state_file(cfg, gather_state(params, state), path,
+                         precision=params.output_precision,
+                         with_ghosts=params.write_ghosts)
+        if params.silent < 2:
+            print(f"\nWrote to file {path}")
+
+    if params.silent < 3 and cycles > 0:
+        _print_summary(stats, params)
+
+    return stats
+
+
+def make_file_checkpoint(params):
+    """The `step_checkpoint` hook (`src/io.jl:185-227`): with `is_ref=True`
+    write a file per sub-step; otherwise compare against it."""
+    from ..io.output import write_state_file, read_state_file
+    cfg = params.config
+
+    def checkpoint(label, state, axis, dt, cycle):
+        axis_char = "X" if (cycle == 0 and label == "time_step") else \
+            ("X" if axis is Axis.X else "Y")
+        if label in ("EOS", "boundary_conditions", "numerical_fluxes",
+                     "cell_update", "projection_remap", "EOS_init", "init_test"):
+            axis_char = "X" if axis is Axis.X else "Y"
+        name = f"{params.output_file}_{cycle:03d}_{label}_{axis_char}"
+        path = os.path.join(params.output_dir, name)
+        if label == "time_step":
+            if params.is_ref:
+                with open(path, "w") as f:
+                    f.write(f"%#{params.output_precision + 7}.{params.output_precision}e\n"
+                            % dt)
+                return False
+            with open(path) as f:
+                ref_dt = float(f.read().strip())
+            diff = not np.isclose(ref_dt, dt, rtol=params.comparison_tolerance, atol=0)
+            if diff:
+                print(f"Time step difference: ref dt = {ref_dt:.18f}, "
+                      f"dt = {dt:.18f}, diff = {ref_dt - dt:.18f}")
+            return diff
+
+        host = gather_state(params, state)
+        if params.is_ref:
+            write_state_file(cfg, host, path, precision=params.output_precision,
+                             with_ghosts=params.write_ghosts)
+            return False
+        from ..io.output import compare_states
+        ref = read_state_file(cfg, path, with_ghosts=params.write_ghosts)
+        cnt, max_diff, details = compare_states(
+            cfg, host, ref, atol=0.0, rtol=params.comparison_tolerance,
+            with_ghosts=params.write_ghosts)
+        if cnt:
+            print(f"At {label} (cycle {cycle}): {cnt} differences "
+                  f"(max rel {max_diff:.3e}): {details}")
+        return cnt > 0
+
+    return checkpoint
+
+
+def _isapprox0(x, atol, rtol):
+    """Julia `isapprox(x, 0; atol, rtol)` (src/solver.jl:481-482)."""
+    return abs(x) <= max(atol, rtol * abs(x))
+
+
+def _print_summary(stats, params):
+    if params.silent >= 3:
+        return
+    print()
+    print(f"Total time:  {stats.solve_time:.5f} sec")
+    grind_us = stats.solve_time / max(stats.cycles, 1) / stats.cell_count * 1e6
+    print(f"Grind time:  {grind_us:.5f} us/cell/cycle")
+    print(f"Cells/sec:   {stats.giga_cells_per_sec * 1e3:.5f} Mega cells/sec")
+    print(f"Cycles:      {stats.cycles}")
+    print(f"Last cycle:  {stats.final_time:.18f} sec, dt={stats.last_dt:.18f} sec")
+
+
+def _ensure_x64(cfg):
+    if cfg.dtype.itemsize == 8 and not jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", True)
+
+
+# Reference API-parity helpers (src/Armon.jl:15-16 exports)
+def device_to_host(params, state):
+    return gather_state(params, state)
+
+
+def host_to_device(params, state_host: State) -> State:
+    cfg = params.config
+    if not cfg.spmd:
+        return jax.device_put(state_host)
+    raise NotImplementedError("host_to_device for sharded states: use make_init")

@@ -1,0 +1,45 @@
+"""Device mesh construction and sharding specs.
+
+TPU-native replacement for the reference's MPI cartesian topology
+(`src/parameters.jl:408-467`): the process grid `P=(px,py)` becomes a 2D
+`jax.sharding.Mesh` with axes ("px", "py"); `reorder_grid=true` (letting MPI
+optimize rank placement) maps to `jax.experimental.mesh_utils` picking an
+ICI-friendly device order.
+
+State layout under SPMD: every device owns a *padded* block
+(ny_loc+2g, nx_loc+2g). The global on-host array therefore has shape
+(py*(ny_loc+2g), px*(nx_loc+2g)) in "blocked" layout — the direct analog of
+the reference's per-rank sub-domain arrays. `shard_map` over the mesh gives
+each program its own block.
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_mesh(proc_dims, axis_names=("px", "py"), devices=None):
+    """Build a (px, py) mesh. Mirrors `MPI.Cart_create` + reorder
+    (`src/parameters.jl:432-448`)."""
+    px, py = proc_dims
+    if devices is None:
+        devices = jax.devices()
+    n = px * py
+    if len(devices) < n:
+        from ..utils.errors import solver_error
+        solver_error("config",
+                     f"mesh {px}x{py} needs {n} devices, have {len(devices)}")
+    try:
+        from jax.experimental import mesh_utils
+        dev_array = mesh_utils.create_device_mesh((py, px),
+                                                  devices=devices[:n])
+    except Exception:
+        dev_array = np.asarray(devices[:n]).reshape(py, px)
+    # Mesh axes ordered (py, px) to match the (rows, cols) array layout.
+    return Mesh(dev_array, (axis_names[1], axis_names[0]))
+
+
+def shard_state_spec(axis_names=("px", "py")):
+    """PartitionSpec for the blocked state arrays: rows over py, cols over px."""
+    return P(axis_names[1], axis_names[0])

@@ -1,0 +1,286 @@
+"""User-facing solver parameters.
+
+Rebuild of the reference front-end `ArmonParameters` (`src/parameters.jl`):
+a keyword-argument cascade where each init step consumes its options and any
+leftover raises an error naming the unknown options
+(`src/parameters.jl:359-372`). The full reference option space (SURVEY.md
+§2.5) is accepted; options that exist to manage x86/GPU/MPI machinery with no
+TPU counterpart (threads, SIMD, NUMA, cache-blocking scheduler, Scotch
+partitioning, GPU-aware buffers) are validated and recorded but have no
+effect — the equivalent decisions live in XLA/Pallas (SURVEY.md §2.3, §2.4).
+
+TPU-native additions:
+- ``kernel_tier``: 'jnp' (pure-XLA reference tier) or 'pallas' (fused Mosaic
+  kernels), replacing the reference's device/backend axis
+  (`:CPU/:CPU_HP/:CUDA/:ROCM/:Kokkos`).
+- ``P=(px, py)`` now selects a `jax.sharding.Mesh` layout instead of an MPI
+  process grid.
+"""
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from .utils.errors import solver_error
+from .models.cases import test_from_name, Sedov, TestCase
+from .core.config import SolverConfig
+from .core.state import State
+
+
+_DTYPE_NAMES = {
+    "float64": np.float64, "Float64": np.float64, "f64": np.float64,
+    "float32": np.float32, "Float32": np.float32, "f32": np.float32,
+}
+
+
+def _stencil_width_riemann(scheme: str) -> int:
+    # src/riemann_schemes.jl:17-18
+    return {"Godunov": 1, "GAD": 2}[scheme]
+
+
+def _stencil_width_projection(projection: str) -> int:
+    # src/projection_schemes.jl:11-12
+    return {"euler": 1, "euler_2nd": 2}[projection]
+
+
+class ArmonParameters:
+    """Validating front-end. ``ArmonParameters(**options)`` then
+    ``armon(params)`` (`README.md:33-39` of the reference)."""
+
+    def __init__(self, **options):
+        opts = dict(options)
+
+        # --- data type + grid (src/parameters.jl:348-353)
+        data_type = opts.pop("data_type", np.float64)
+        if isinstance(data_type, str):
+            data_type = _DTYPE_NAMES.get(data_type)
+        if isinstance(data_type, type) and data_type is float:
+            data_type = np.float64
+        if data_type not in (np.float64, np.float32):
+            solver_error("config", f"Unsupported data_type: {options.get('data_type')}")
+        self.data_type = np.dtype(data_type)
+
+        N = tuple(opts.pop("N", (10, 10)))
+        if len(N) != 2 or any(n <= 0 for n in N):
+            solver_error("config", f"Invalid grid size N: {N}")
+        self.N = N  # global real cells (nx, ny)
+
+        self._init_scheme(opts)
+        self._init_test(opts)
+        self._init_mesh(opts)
+        self._init_device(opts)
+        self._init_profiling(opts)
+        self._init_indexing(opts)
+        self._init_output(opts)
+        self._init_solver_state(opts)
+
+        if opts:
+            bad = ", ".join(f"'{k}'" for k in opts)
+            raise TypeError(f"{len(opts)} unconsumed options:\n{bad}")
+
+        self._config = None
+
+    # ------------------------------------------------------------------ init
+    def _init_scheme(self, o):
+        """src/parameters.jl:577-630"""
+        self.scheme = str(o.pop("scheme", "GAD"))
+        if self.scheme not in ("Godunov", "GAD"):
+            solver_error("config", f"Unknown scheme: '{self.scheme}'")
+        self.projection = str(o.pop("projection", "euler_2nd"))
+        if self.projection not in ("euler", "euler_2nd"):
+            solver_error("config", f"Unknown projection scheme: '{self.projection}'")
+        self.riemann_limiter = str(o.pop("riemann_limiter", "minmod"))
+        if self.riemann_limiter not in ("no_limiter", "minmod", "superbee"):
+            solver_error("config", f"Unknown limiter name: '{self.riemann_limiter}'")
+        self.axis_splitting = str(o.pop("axis_splitting", "Sequential"))
+        if self.axis_splitting == "SequentialSym":
+            self.axis_splitting = "Godunov"
+        if self.axis_splitting not in ("Sequential", "Godunov", "Strang", "X_only", "Y_only"):
+            solver_error("config", f"Unknown splitting method: '{self.axis_splitting}'")
+
+        self.nghost = int(o.pop("nghost", 4))
+        min_nghost = (_stencil_width_riemann(self.scheme)
+                      * _stencil_width_projection(self.projection))
+        if self.nghost < min_nghost:
+            solver_error("config",
+                         f"Not enough ghost cells for the scheme: at least "
+                         f"{min_nghost} are needed, got {self.nghost}")
+
+        self.cst_dt = bool(o.pop("cst_dt", False))
+        self.Dt = float(o.pop("Dt", 0.0))
+        self.dt_on_even_cycles = bool(o.pop("dt_on_even_cycles", False))
+        if self.cst_dt and self.Dt == 0:
+            solver_error("config", "Dt == 0 with constant step enabled")
+
+    def _init_test(self, o):
+        """src/parameters.jl:632-670"""
+        test = o.pop("test", "Sod")
+        domain_size = o.pop("domain_size", None)
+        origin = o.pop("origin", None)
+        cfl = float(o.pop("cfl", 0.0))
+        maxtime = float(o.pop("maxtime", 0.0))
+        self.maxcycle = int(o.pop("maxcycle", 500_000))
+
+        if isinstance(test, TestCase):
+            self.test = test
+        else:
+            # Sedov needs the cell size (src/parameters.jl:657-659, computed
+            # with the *global* N since indexing init runs later).
+            from .models.cases import _REGISTRY
+            cls = _REGISTRY.get(str(test))
+            if cls is None:
+                solver_error("config", f"Unknown test case: '{test}'")
+            ds = tuple(domain_size) if domain_size is not None else cls.default_domain_size
+            dx = ds[0] / self.N[0]
+            dy = ds[1] / self.N[1]
+            self.test = test_from_name(test, dx, dy)
+
+        tcls = type(self.test)
+        self.domain_size = tuple(map(float, domain_size)) if domain_size is not None \
+            else tuple(map(float, tcls.default_domain_size))
+        self.origin = tuple(map(float, origin)) if origin is not None \
+            else tuple(map(float, tcls.default_domain_origin))
+
+        # cfl/maxtime default to the test's values (src/parameters.jl:666-667)
+        self.cfl = cfl if cfl != 0 else self.test.default_CFL
+        self.maxtime = maxtime if maxtime != 0 else self.test.default_max_time
+
+    def _init_mesh(self, o):
+        """Device-mesh layout; absorbs the reference MPI options
+        (src/parameters.jl:408-467)."""
+        self.use_MPI = bool(o.pop("use_MPI", False))  # accepted; mesh replaces MPI
+        self.P = tuple(o.pop("P", (1, 1)))
+        self.reorder_grid = bool(o.pop("reorder_grid", True))
+        o.pop("global_comm", None)   # no communicator on TPU
+        self.gpu_aware = bool(o.pop("gpu_aware", True))  # N/A: data stays in HBM
+        self.devices = o.pop("devices", None)  # explicit device list (TPU-native)
+        if len(self.P) != 2 or any(p <= 0 for p in self.P):
+            solver_error("config", f"Invalid process grid P: {self.P}")
+
+    def _init_device(self, o):
+        """src/parameters.jl:470-530 — backend knobs. Threading/SIMD/NUMA/
+        cache-blocking are x86 machinery with no TPU equivalent; accepted as
+        no-ops for config compatibility."""
+        self.device = o.pop("device", "tpu")
+        self.use_gpu = bool(o.pop("use_gpu", False))
+        if o.pop("use_kokkos", False):
+            solver_error("config", "use_kokkos is not supported: the native "
+                                   "kernel tier on TPU is Pallas (kernel_tier='pallas')")
+        self.use_threading = bool(o.pop("use_threading", True))
+        self.use_simd = bool(o.pop("use_simd", True))
+        self.use_cache_blocking = bool(o.pop("use_cache_blocking", True))
+        self.async_cycle = bool(o.pop("async_cycle", False))
+        self.block_size = o.pop("block_size", None)  # Pallas tile-size hint
+        self.use_two_step_reduction = bool(o.pop("use_two_step_reduction", False))
+        self.workload_distribution = o.pop("workload_distribution", "simple")
+        o.pop("distrib_params", None)
+        self.numa_aware = bool(o.pop("numa_aware", False))
+        self.lock_memory = bool(o.pop("lock_memory", False))
+        self.busy_wait_limit = int(o.pop("busy_wait_limit", 100))
+        self.kernel_tier = str(o.pop("kernel_tier", "jnp"))
+        if self.kernel_tier not in ("jnp", "pallas", "auto"):
+            solver_error("config", f"Unknown kernel_tier: '{self.kernel_tier}'")
+
+    def _init_profiling(self, o):
+        """src/parameters.jl:532-575"""
+        self.profiling = o.pop("profiling", [])
+        self.measure_time = bool(o.pop("measure_time", True))
+        self.time_async = bool(o.pop("time_async", True))
+        self.log_blocks = bool(o.pop("log_blocks", False))
+        o.pop("estimated_blk_log_size", None)
+
+    def _init_indexing(self, o):
+        """src/parameters.jl:673-697: split the global grid over the mesh.
+        TPU restriction: the split must be even (XLA shards are uniform); the
+        reference gives the remainder to edge ranks instead."""
+        self.global_grid = self.N
+        px, py = self.P
+        nx, ny = self.global_grid
+        if nx % px != 0 or ny % py != 0:
+            solver_error("config",
+                         f"domain {self.global_grid} must divide evenly over the "
+                         f"{px}x{py} device mesh (uniform XLA shards)")
+        self.n_local = (nx // px, ny // py)
+        if any(p > 1 and n < self.nghost for p, n in zip(self.P, self.n_local)):
+            solver_error("config",
+                         f"domain {self.global_grid} is too small to be split by "
+                         f"{self.P} devices while keeping more than "
+                         f"{self.nghost} cells along each axis")
+
+    def _init_output(self, o):
+        """src/parameters.jl:700-728"""
+        self.silent = int(o.pop("silent", 0))
+        self.output_dir = str(o.pop("output_dir", "."))
+        self.output_file = str(o.pop("output_file", "output"))
+        self.write_output = bool(o.pop("write_output", False))
+        self.write_ghosts = bool(o.pop("write_ghosts", False))
+        self.write_slices = bool(o.pop("write_slices", False))
+        p = o.pop("output_precision", None)
+        self.output_precision = int(p) if p is not None else \
+            (17 if self.data_type.itemsize == 8 else 9)
+        self.animation_step = int(o.pop("animation_step", 0))
+        self.compare = bool(o.pop("compare", False))
+        self.is_ref = bool(o.pop("is_ref", False))
+        self.comparison_tolerance = float(o.pop("comparison_tolerance", 1e-10))
+        self.check_result = bool(o.pop("check_result", False))
+        self.return_data = bool(o.pop("return_data", False))
+
+    def _init_solver_state(self, o):
+        self.initial_mass = 0.0
+        self.initial_energy = 0.0
+
+    # ------------------------------------------------------------- derived
+    @property
+    def config(self) -> SolverConfig:
+        if self._config is None:
+            self._config = SolverConfig(
+                dtype=self.data_type,
+                nghost=self.nghost,
+                n_global=self.global_grid,
+                n_local=self.n_local,
+                domain_size=self.domain_size,
+                origin=self.origin,
+                test=self.test,
+                riemann=self.scheme,
+                limiter=self.riemann_limiter,
+                projection=self.projection,
+                splitting=self.axis_splitting,
+                cfl=self.cfl,
+                maxtime=self.maxtime,
+                maxcycle=self.maxcycle,
+                Dt=self.Dt,
+                cst_dt=self.cst_dt,
+                dt_on_even_cycles=self.dt_on_even_cycles,
+                proc_dims=self.P,
+                kernel_tier=self.kernel_tier,
+            )
+        return self._config
+
+    def memory_required(self) -> dict:
+        """Byte accounting, analog of `src/blocking/block_grid.jl:598-709`."""
+        rows, cols = self.config.local_shape
+        nfields = len(State._fields)
+        per_device = nfields * rows * cols * self.data_type.itemsize
+        halo = 2 * (rows + cols) * self.nghost * 7 * self.data_type.itemsize
+        return {
+            "per_device_state_bytes": per_device,
+            "per_device_halo_bytes": halo,
+            "total_bytes": (per_device + halo) * self.P[0] * self.P[1],
+        }
+
+    def __repr__(self):
+        return (f"ArmonParameters(test={self.test!r}, N={self.N}, "
+                f"dtype={self.data_type.name}, scheme={self.scheme}, "
+                f"projection={self.projection}, limiter={self.riemann_limiter}, "
+                f"splitting={self.axis_splitting}, P={self.P}, "
+                f"tier={self.kernel_tier})")
+
+
+def data_type(params: ArmonParameters):
+    """Reference API parity (`src/Armon.jl:15`)."""
+    return params.data_type.type
+
+
+def memory_required(params: ArmonParameters):
+    return params.memory_required()

@@ -1,0 +1,79 @@
+"""Benchmark: cell-updates/sec/chip on the Sod shock tube.
+
+The reference's own metric is `giga_cells_per_sec` (cell-cycles/sec,
+`src/solver.jl:19,386-394`); the north-star target is >= 5e9 cell-updates/s
+per chip (BASELINE.json). Prints one JSON line.
+
+Run on the real TPU chip; falls back to whatever jax.default_backend() is.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE = 5e9  # cell-updates/s/chip target (BASELINE.md)
+
+
+def bench(n=8192, dtype=np.float32, cycles=50, tier=None):
+    import jax
+    from armon_tpu import ArmonParameters
+    from armon_tpu.core.solver import make_init, make_jit_loop
+
+    tier = tier or os.environ.get("ARMON_BENCH_TIER", "jnp")
+    params = ArmonParameters(
+        test="Sod", N=(n, n), data_type=dtype, scheme="GAD",
+        projection="euler_2nd", riemann_limiter="minmod", nghost=4,
+        maxcycle=cycles, maxtime=1e30, silent=5, measure_time=False,
+        kernel_tier=tier,
+    )
+    init = make_init(params)
+    state = jax.block_until_ready(init())
+    loop = make_jit_loop(params)
+
+    # Warm-up / compile
+    out = loop(state)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    state2, t, ran_cycles, dt, ok = loop(state)
+    jax.block_until_ready(state2)
+    elapsed = time.perf_counter() - t0
+
+    ran = int(ran_cycles)
+    assert bool(ok) and ran == cycles, (ran, bool(ok))
+    cells_per_sec = n * n * ran / elapsed
+    return cells_per_sec, elapsed, ran
+
+
+def main():
+    n = int(os.environ.get("ARMON_BENCH_N", "8192"))
+    cycles = int(os.environ.get("ARMON_BENCH_CYCLES", "50"))
+    dtype = np.float32 if os.environ.get("ARMON_BENCH_DTYPE", "f32") == "f32" \
+        else np.float64
+
+    try:
+        value, elapsed, ran = bench(n=n, dtype=dtype, cycles=cycles)
+    except Exception as e:  # report failure as a zero measurement
+        print(json.dumps({
+            "metric": "cell-updates/sec/chip (Sod %dx%d GAD+minmod euler_2nd)" % (n, n),
+            "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        return
+
+    print(json.dumps({
+        "metric": f"cell-updates/sec/chip (Sod {n}x{n} "
+                  f"{np.dtype(dtype).name} GAD+minmod euler_2nd, {ran} cycles)",
+        "value": round(value, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(value / BASELINE, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Front-end validation (`src/parameters.jl` option cascade)."""
+
+import numpy as np
+import pytest
+
+from armon_tpu import ArmonParameters, SolverException, memory_required
+
+
+def test_unknown_option_rejected():
+    # Unconsumed options error with their names (src/parameters.jl:369-372)
+    with pytest.raises(TypeError, match="unconsumed"):
+        ArmonParameters(test="Sod", not_an_option=1)
+
+
+def test_defaults_follow_test_case():
+    # cfl/maxtime fall back to the test's defaults (src/parameters.jl:666-667)
+    p = ArmonParameters(test="Sod")
+    assert p.cfl == 0.95 and p.maxtime == 0.20
+    p = ArmonParameters(test="Bizarrium")
+    assert p.cfl == 0.6 and p.maxtime == 80e-6
+    p = ArmonParameters(test="Sedov")
+    assert p.cfl == 0.7 and p.domain_size == (2.0, 2.0) and p.origin == (-1.0, -1.0)
+
+
+def test_nghost_validation():
+    # min_nghost = stencil(riemann) * stencil(projection) (src/parameters.jl:609-613)
+    with pytest.raises(SolverException, match="ghost"):
+        ArmonParameters(test="Sod", scheme="GAD", projection="euler_2nd", nghost=3)
+    ArmonParameters(test="Sod", scheme="Godunov", projection="euler", nghost=1)
+
+
+def test_cst_dt_requires_Dt():
+    with pytest.raises(SolverException, match="Dt"):
+        ArmonParameters(test="Sod", cst_dt=True)
+
+
+def test_invalid_names():
+    for kw in [dict(scheme="bogus"), dict(projection="bogus"),
+               dict(riemann_limiter="bogus"), dict(axis_splitting="bogus"),
+               dict(test="bogus")]:
+        with pytest.raises(SolverException):
+            ArmonParameters(**kw)
+
+
+def test_mesh_split_validation():
+    p = ArmonParameters(test="Sod", N=(100, 100), P=(2, 2))
+    assert p.n_local == (50, 50)
+    with pytest.raises(SolverException, match="divide evenly"):
+        ArmonParameters(test="Sod", N=(101, 100), P=(2, 1))
+    with pytest.raises(SolverException, match="too small"):
+        ArmonParameters(test="Sod", N=(8, 8), P=(4, 4), nghost=4)
+
+
+def test_memory_required():
+    p = ArmonParameters(test="Sod", N=(100, 100), nghost=4)
+    mem = memory_required(p)
+    # 11 fields x 108^2 cells x 8 bytes
+    assert mem["per_device_state_bytes"] == 11 * 108 * 108 * 8
+
+
+def test_f32_dtype():
+    p = ArmonParameters(test="Sod", data_type=np.float32)
+    assert p.data_type == np.float32
+    p = ArmonParameters(test="Sod", data_type="Float32")
+    assert p.data_type == np.float32
+
+
+def test_reference_noop_options_accepted():
+    # The reference's x86/MPI/GPU machinery options are accepted for config
+    # compatibility (SURVEY.md §2.5) even though XLA owns those decisions.
+    ArmonParameters(
+        test="Sod", use_MPI=False, use_threading=False, use_simd=False,
+        use_cache_blocking=False, async_cycle=True, numa_aware=True,
+        lock_memory=False, workload_distribution="scotch", busy_wait_limit=100,
+        use_two_step_reduction=True, gpu_aware=True, reorder_grid=True,
+        block_size=(64, 64), use_gpu=False,
+    )
