@@ -132,6 +132,18 @@ def make_jit_loop(params):
 
 def make_cycle(params):
     cfg = params.config
+    if cfg.kernel_tier == "pallas":
+        from .step import solver_cycle_fused
+
+        def cycle(state, dt_prev, cycle_idx, local_min):
+            return solver_cycle_fused(cfg, state, dt_prev, cycle_idx, local_min)
+
+        if not cfg.spmd:
+            return jax.jit(cycle)
+        _, state_spec, rep = _mesh_and_specs(params)
+        return _shard(params, cycle,
+                      in_specs=(state_spec, rep, rep, rep),
+                      out_specs=(state_spec, rep, rep, rep, rep))
 
     def cycle(state, dt_prev, cycle_idx):
         return solver_cycle(cfg, state, dt_prev, cycle_idx)
@@ -168,6 +180,7 @@ def _python_cycle_driver(params, state, checkpoint=None):
     t = T(0.0)
     cycles = 0
     dt_prev = T(0.0)
+    local_min = None  # fused-tier carry
 
     if checkpoint is not None and checkpoint("init_test", state, Axis.X, 0.0, 0):
         return state, float(t), cycles, float(dt_prev)
@@ -177,8 +190,29 @@ def _python_cycle_driver(params, state, checkpoint=None):
         if checkpoint is not None and checkpoint("EOS_init", state, Axis.X, 0.0, 0):
             return state, float(t), cycles, float(dt_prev)
 
+    fused = cfg.kernel_tier == "pallas" and checkpoint is None
+    if fused:
+        from ..ops.reductions import dt_cfl_min
+        from jax import lax
+
+        def seed_fn(s):
+            m = dt_cfl_min(cfg, s)
+            if cfg.spmd:
+                m = lax.pmin(m, axis_name=cfg.axis_names)
+            return m
+
+        seed = jax.jit(seed_fn) if not cfg.spmd else \
+            _shard(params, seed_fn,
+                   in_specs=(_mesh_and_specs(params)[1],),
+                   out_specs=_mesh_and_specs(params)[2])
+        local_min = seed(state) if not cfg.cst_dt else \
+            T(np.finfo(cfg.dtype).max)
+
     while t < T(cfg.maxtime) and cycles < cfg.maxcycle:
-        if checkpoint is None:
+        if fused:
+            state, dt_use, dt_next, local_min, ok = cycle_fn(
+                state, dt_prev, np.int32(cycles), local_min)
+        elif checkpoint is None:
             state, dt_use, dt_next, ok = cycle_fn(state, dt_prev, np.int32(cycles))
         else:
             state, dt_use, dt_next, ok, stop = _checkpointed_cycle(

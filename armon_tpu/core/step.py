@@ -23,14 +23,16 @@ from ..ops.riemann import numerical_fluxes
 from ..ops.update import cell_update
 from ..ops.projection import projection_remap
 from .splitting import split_schedules
-from .timestep import next_time_step
+from .timestep import next_time_step, dt_update
 
 
-def ghost_exchange(cfg, state, axis: Axis):
+def ghost_exchange(cfg, state, axis: Axis, vars=None):
+    from ..core.state import COMM_VARS
+    vars = COMM_VARS if vars is None else vars
     if cfg.spmd:
         from ..parallel.halo import halo_exchange
-        return halo_exchange(cfg, state, axis)
-    return boundary_conditions(cfg, state, axis)
+        return halo_exchange(cfg, state, axis, vars)
+    return boundary_conditions(cfg, state, axis, vars)
 
 
 def sweep(cfg, state, axis: Axis, dt):
@@ -52,7 +54,7 @@ def run_schedule(cfg, state, schedule, dt):
 
 
 def solver_cycle(cfg, state, dt_prev, cycle):
-    """One full cycle. Returns (state, dt_used, dt_next_carry, ok)."""
+    """One full cycle (jnp tier). Returns (state, dt_used, dt_next_carry, ok)."""
     dt_use, dt_next, ok = next_time_step(cfg, state, dt_prev, cycle)
     even, odd = split_schedules(cfg.splitting)
     if even == odd:
@@ -67,6 +69,60 @@ def solver_cycle(cfg, state, dt_prev, cycle):
     return state, dt_use, dt_next, ok
 
 
+# ------------------------------------------------------- fused (Pallas) tier
+
+FUSED_EXCHANGE_VARS = ("rho", "u", "v", "E")
+
+
+def _pallas_interpret(cfg) -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def fused_sweep_step(cfg, state, axis: Axis, dt):
+    """One sweep through the fused Pallas kernel. Only (rho,u,v,E) ghosts are
+    exchanged — p/c ghosts are recomputed in-kernel by the EOS (which
+    commutes bitwise with the mirror/halo copy). Returns (state, local_min)
+    where local_min is this shard's CFL minimum of the post-sweep state."""
+    from ..ops.pallas.sweep import fused_sweep
+    state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
+    rho, u, v, E, p_stale, local_min = fused_sweep(
+        cfg, axis, state.rho, state.u, state.v, state.E, dt,
+        interpret=_pallas_interpret(cfg))
+    return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
+
+
+def run_schedule_fused(cfg, state, schedule, dt):
+    T = np.dtype(cfg.dtype).type
+    local_min = None
+    for axis, factor in schedule:
+        state, local_min = fused_sweep_step(cfg, state, axis, dt * T(factor))
+    return state, local_min
+
+
+def solver_cycle_fused(cfg, state, dt_prev, cycle, local_min):
+    """One full cycle, fused tier. `local_min` is the CFL minimum emitted by
+    the previous cycle's last sweep (== the reference's asynchronous
+    next-cycle dt reduction, `src/reductions.jl:113-130`).
+    Returns (state, dt_use, dt_next, new_local_min, ok)."""
+    dt_use, dt_next, ok = dt_update(cfg, local_min, dt_prev, cycle,
+                                    reduce=False)
+    even, odd = split_schedules(cfg.splitting)
+    if even == odd:
+        state, new_min = run_schedule_fused(cfg, state, even, dt_use)
+    else:
+        state, new_min = lax.cond(
+            cycle % 2 == 0,
+            lambda s: run_schedule_fused(cfg, s, even, dt_use),
+            lambda s: run_schedule_fused(cfg, s, odd, dt_use),
+            state,
+        )
+    if cfg.spmd:
+        # Reduce at production so the carry is replicated over the mesh
+        # (the reference's one-cycle-early Iallreduce, src/reductions.jl:117-125).
+        new_min = lax.pmin(new_min, axis_name=cfg.axis_names)
+    return state, dt_use, dt_next, new_min, ok
+
+
 def make_time_loop(cfg):
     """Build the fully-jitted time loop (`src/solver.jl:323-403` hot path):
     state -> (state, t, cycles, last_dt, ok).
@@ -78,23 +134,50 @@ def make_time_loop(cfg):
     maxtime = T(cfg.maxtime)
     maxcycle = np.int32(cfg.maxcycle)
 
-    def loop(state):
-        def cond(carry):
-            _, t, cycle, _, ok = carry
-            return (t < maxtime) & (cycle < maxcycle) & ok
+    fused = cfg.kernel_tier == "pallas"
 
-        def body(carry):
-            state, t, cycle, dt_prev, _ = carry
-            state, dt_use, dt_next, ok = solver_cycle(cfg, state, dt_prev, cycle)
-            # next_cycle!: cycle += 1; time += current_dt (src/solver_state.jl:145-147)
-            return (state, t + dt_use, cycle + 1, dt_next, ok)
+    def loop(state):
+        if fused:
+            def cond(carry):
+                _, t, cycle, _, _, ok = carry
+                return (t < maxtime) & (cycle < maxcycle) & ok
+
+            def body(carry):
+                state, t, cycle, dt_prev, local_min, _ = carry
+                state, dt_use, dt_next, local_min, ok = solver_cycle_fused(
+                    cfg, state, dt_prev, cycle, local_min)
+                return (state, t + dt_use, cycle + 1, dt_next, local_min, ok)
+        else:
+            def cond(carry):
+                _, t, cycle, _, ok = carry
+                return (t < maxtime) & (cycle < maxcycle) & ok
+
+            def body(carry):
+                state, t, cycle, dt_prev, _ = carry
+                state, dt_use, dt_next, ok = solver_cycle(cfg, state, dt_prev, cycle)
+                # next_cycle!: cycle += 1; time += current_dt (src/solver_state.jl:145-147)
+                return (state, t + dt_use, cycle + 1, dt_next, ok)
 
         if cfg.maxcycle > 0:
             # Cycle-0 "EOS_init" (src/solver.jl:291-295), hoisted out of the loop.
             state = update_eos(cfg, state)
 
-        carry = (state, T(0.0), np.int32(0), T(0.0), jnp.asarray(True))
-        state, t, cycles, dt_last, ok = lax.while_loop(cond, body, carry)
+        if fused:
+            from ..ops.reductions import dt_cfl_min
+            # Seed the carried CFL min from the initial (post-EOS) state —
+            # equivalent to the jnp tier's cycle-0 reduction.
+            if cfg.cst_dt:
+                local0 = jnp.asarray(T(np.finfo(cfg.dtype).max))
+            else:
+                local0 = dt_cfl_min(cfg, state)
+                if cfg.spmd:
+                    local0 = lax.pmin(local0, axis_name=cfg.axis_names)
+            carry = (state, T(0.0), np.int32(0), T(0.0), local0,
+                     jnp.asarray(True))
+            state, t, cycles, dt_last, _, ok = lax.while_loop(cond, body, carry)
+        else:
+            carry = (state, T(0.0), np.int32(0), T(0.0), jnp.asarray(True))
+            state, t, cycles, dt_last, ok = lax.while_loop(cond, body, carry)
         return state, t, cycles, dt_last, ok
 
     return loop

@@ -16,6 +16,14 @@ Functional rebuild of the reference's `GlobalTimeStep` machinery
 On a device mesh the min-reduce is a `lax.pmin` over the mesh axes — the
 XLA-scheduled equivalent of the hand-rolled non-blocking `MPI_Iallreduce`
 (`src/utils.jl:126-143`); min is associative so the result is bit-identical.
+
+Two producers of the per-shard CFL minimum exist:
+- jnp tier: an explicit reduction over the state at cycle start
+  (`armon_tpu.ops.reductions.dt_cfl_min`);
+- pallas tier: the fused sweep kernel of the *previous* cycle's last sweep
+  emits it for free (same state, same stale sound speed — see
+  `armon_tpu.ops.pallas.sweep`).
+Both feed `dt_update` below and produce identical bits (min is exact).
 """
 
 import jax.numpy as jnp
@@ -25,31 +33,26 @@ from jax import lax
 from ..ops.reductions import dt_cfl_min
 
 
-def next_time_step(cfg, state, dt_prev, cycle):
-    """Returns (dt_use, dt_next, ok).
-
-    `dt_prev` is the carry: 0 at cycle 0, afterwards the dt for this cycle
-    (computed during the previous one). `dt_use` is the unscaled dt applied to
-    this cycle's sweeps, `dt_next` the carry for the next cycle. `ok` is False
-    when the new dt is invalid (<= 0 or non-finite), mirroring the
-    `solver_error(:time, ...)` abort at `src/solver_state.jl:123-125`.
-    """
+def dt_update(cfg, local_min, dt_prev, cycle, reduce=True):
+    """Apply the reference dt recurrence to a CFL minimum. Set `reduce=False`
+    when `local_min` is already global (the fused tier reduces the carry when
+    it is produced, so it stays replicated across shards).
+    Returns (dt_use, dt_next, ok)."""
     T = np.dtype(cfg.dtype).type
     if cfg.cst_dt:
         dt = jnp.asarray(T(cfg.Dt))
         return dt, dt, jnp.asarray(True)
 
-    local = dt_cfl_min(cfg, state)
-    if cfg.spmd:
+    if cfg.spmd and reduce:
         # Global min over the device mesh (replaces MPI_Iallreduce(MIN),
         # src/solver_state.jl:102-111)
-        local = lax.pmin(local, axis_name=cfg.axis_names)
+        local_min = lax.pmin(local_min, axis_name=cfg.axis_names)
 
     first = dt_prev == 0
     candidate = jnp.where(
         first,
-        T(cfg.cfl) * local,
-        jnp.minimum(T(cfg.cfl) * local, T(1.05) * dt_prev),
+        T(cfg.cfl) * local_min,
+        jnp.minimum(T(cfg.cfl) * local_min, T(1.05) * dt_prev),
     )
 
     if cfg.dt_on_even_cycles:
@@ -61,3 +64,11 @@ def next_time_step(cfg, state, dt_prev, cycle):
     dt_use = jnp.where(first, dt_next, dt_prev)
     ok = jnp.isfinite(dt_next) & (dt_next > 0)
     return dt_use, dt_next, ok
+
+
+def next_time_step(cfg, state, dt_prev, cycle):
+    """jnp-tier entry: compute the CFL minimum from the current state
+    (the start-of-cycle state, `src/reductions.jl:164-199`) then update."""
+    if cfg.cst_dt:
+        return dt_update(cfg, None, dt_prev, cycle)
+    return dt_update(cfg, dt_cfl_min(cfg, state), dt_prev, cycle)

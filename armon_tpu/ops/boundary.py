@@ -52,14 +52,14 @@ def _var_factor(var: str, u_factor, v_factor):
     return 1.0
 
 
-def apply_side_bc(cfg, state, side: Side):
-    """Fill the ghost band of `side` for all comm vars
+def apply_side_bc(cfg, state, side: Side, vars=COMM_VARS):
+    """Fill the ghost band of `side` for the given vars
     (`src/halo_exchange.jl:2-36`)."""
     T = np.dtype(cfg.dtype).type
     u_factor, v_factor = cfg.test.boundary_factors(side)
     g = cfg.nghost
     updates = {}
-    for var in COMM_VARS:
+    for var in vars:
         a = getattr(state, var)
         f = _var_factor(var, u_factor, v_factor)
         slab = mirror_slab(a, side, g)
@@ -69,9 +69,13 @@ def apply_side_bc(cfg, state, side: Side):
     return state._replace(**updates)
 
 
-def boundary_conditions(cfg, state, axis: Axis):
+def boundary_conditions(cfg, state, axis: Axis, vars=COMM_VARS):
     """Single-device ghost exchange: both global borders along `axis`
-    (`src/halo_exchange.jl:323-354`, global-boundary path)."""
+    (`src/halo_exchange.jl:323-354`, global-boundary path).
+
+    The fused Pallas tier only exchanges (rho, u, v, E): p/c/g ghosts are
+    recomputed in-kernel by the EOS, which commutes bitwise with the mirror
+    (u enters only as u^2)."""
     for side in sides_along(axis):
-        state = apply_side_bc(cfg, state, side)
+        state = apply_side_bc(cfg, state, side, vars)
     return state

@@ -1,0 +1,399 @@
+"""Fused Pallas sweep kernels — the native kernel tier.
+
+This is the TPU rebuild of the reference's native kernel surface: the
+`@generic_kernel` codegen (`src/generic_kernel.jl:940-991`) plus the C++
+Kokkos kernel library (`ext/ArmonKokkos.jl`, SURVEY.md §2.3.1), and at the
+same time the replacement for the cache-blocking runtime (`src/blocking/`):
+Pallas grid tiles pipelined through VMEM play the role of the reference's
+cache blocks, with Mosaic doing the double-buffered HBM->VMEM streaming the
+per-block state machine (`src/solver.jl:58-179`) did by hand.
+
+One kernel instance executes the WHOLE sweep for its tile in VMEM:
+
+    EOS -> Riemann fluxes -> Lagrangian update -> advection -> projection
+    (+ the CFL dt per-tile min-reduction of `src/reductions.jl:2-20`)
+
+so per sweep each field crosses HBM once (read rho,u,v,E + write
+rho,u,v,E,p) instead of once per kernel. Ghost-band filling (mirror BC /
+mesh halo exchange) stays outside in XLA: it touches O(boundary) cells.
+
+Tiling:
+- X sweep: tiles of TILE_R full-width rows; rows are independent (the sweep
+  stencil is 1D), so no inter-tile halo at all.
+- Y sweep: tiles of (CHUNK rows x TILE_C lanes) plus one 8-row aligned halo
+  block above and below (the full sweep dependency depth is 4 =
+  stencil(riemann) * stencil(projection), `src/parameters.jl:609-613`).
+
+In-tile shifted reads use `pltpu.roll` (wrap-around): wrapped values only
+ever land in cells whose results are never consumed — the same argument as
+the jnp tier (`armon_tpu.ops.shifts`).
+
+The stale p (and in-kernel c) written out reproduce the reference's
+observable state exactly: p is last written by the EOS at the *start* of a
+sweep (`src/solver.jl:303`), and the next cycle's CFL reduction reads that
+stale c with the post-remap u,v (`src/reductions.jl:97-199`) — which is
+precisely (c from kernel input state, u/v from kernel output).
+"""
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.enums import Axis
+from ...models.cases import Bizarrium
+
+
+def pallas_supported(cfg) -> bool:
+    """The fused tier covers every scheme combination; f64 is supported via
+    interpret mode on CPU and Mosaic f64 on TPU (slower)."""
+    return True
+
+
+# --------------------------------------------------------------- in-kernel math
+
+def _limiter(name, r):
+    # src/limiters.jl:6-8
+    if name == "no_limiter":
+        return jnp.ones_like(r)
+    if name == "minmod":
+        return jnp.maximum(0.0, jnp.minimum(1.0, r))
+    return jnp.maximum(jnp.maximum(0.0, jnp.minimum(2.0 * r, 1.0)),
+                       jnp.minimum(r, 2.0))
+
+
+def _eos(cfg, T, rho, u, v, E):
+    """Returns (p, c). Same expressions as armon_tpu.ops.eos."""
+    if isinstance(cfg.test, Bizarrium):
+        rho0 = T(10000.0); K0 = T(1e11); Cv0 = T(1000.0); T0 = T(300.0)
+        eps0 = T(0.0); G0 = T(1.5); s = T(1.5)
+        q = T(-42080895.0 / 14941154.0); r = T(727668333.0 / 149411540.0)
+        x = rho / rho0 - 1
+        G = G0 * (1 - rho0 / rho)
+        f0 = (1 + (s / 3 - 2) * x + q * x ** 2 + r * x ** 3) / (1 - s * x)
+        f1 = (s / 3 - 2 + 2 * q * x + 3 * r * x ** 2 + s * f0) / (1 - s * x)
+        epsk0 = eps0 - Cv0 * T0 * (1 + G) + 0.5 * (K0 / rho0) * x ** 2 * f0
+        pk0 = -Cv0 * T0 * G0 * rho0 + 0.5 * K0 * x * (1 + x) ** 2 * (2 * f0 + x * f1)
+        pk0prime = -0.5 * K0 * (1 + x) ** 3 * rho0 * (
+            2 * (1 + 3 * x) * f0 + 2 * x * (2 + 3 * x) * f1
+            + x ** 2 * (1 + x) * ((2 * q + 6 * r * x + 2 * s * f1) / (1 - s * x)))
+        e = E - 0.5 * (u ** 2 + v ** 2)
+        p = pk0 + G0 * rho0 * (e - epsk0)
+        c = jnp.sqrt(G0 * rho0 * (p - pk0) - pk0prime) / rho
+        return p, c
+    gm = T(cfg.gamma)
+    e = E - 0.5 * (u ** 2 + v ** 2)
+    p = (gm - T(1.0)) * rho * e
+    c = jnp.sqrt(gm * p / rho)
+    return p, c
+
+
+def _godunov(rho_i, rho_im, c_i, c_im, u_i, u_im, p_i, p_im):
+    # src/riemann_schemes.jl:21-30
+    rc_l = rho_im * c_im
+    rc_r = rho_i * c_i
+    ustar = (rc_l * u_im + rc_r * u_i + (p_im - p_i)) / (rc_l + rc_r)
+    pstar = (rc_r * p_im + rc_l * p_i + rc_l * rc_r * (u_im - u_i)) / (rc_l + rc_r)
+    return ustar, pstar
+
+
+def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E):
+    """Full sweep on one tile. `sh(a, k)` reads at offset +k along the sweep
+    axis. `uax` is the velocity along the axis, `uot` the other one, `dx` the
+    cell size along the axis (a T scalar). Returns
+    (rho', uax', uot', E', p_stale, c_stale)."""
+    T = np.dtype(cfg.dtype).type
+
+    # EOS (src/kernels.jl:4-13) — from the input (pre-sweep) state.
+    p, c = _eos(cfg, T, rho, uax, uot, E)
+
+    # ---- Riemann fluxes
+    if cfg.riemann == "Godunov":
+        ustar, pstar = _godunov(rho, sh(rho, -1), c, sh(c, -1),
+                                uax, sh(uax, -1), p, sh(p, -1))
+    else:  # GAD (src/riemann_schemes.jl:55-104)
+        rho_m, rho_p, rho_m2 = sh(rho, -1), sh(rho, 1), sh(rho, -2)
+        c_m, c_p, c_m2 = sh(c, -1), sh(c, 1), sh(c, -2)
+        u_m, u_p, u_m2 = sh(uax, -1), sh(uax, 1), sh(uax, -2)
+        p_m, p_p, p_m2 = sh(p, -1), sh(p, 1), sh(p, -2)
+
+        us_im, ps_im = _godunov(rho_m, rho_m2, c_m, c_m2, u_m, u_m2, p_m, p_m2)
+        us_i, ps_i = _godunov(rho, rho_m, c, c_m, uax, u_m, p, p_m)
+        us_ip, ps_ip = _godunov(rho_p, rho, c_p, c, u_p, uax, p_p, p)
+
+        eps = T(1e-6)
+        r_um = _limiter(cfg.limiter, (us_ip - uax) / (us_i - u_m + eps))
+        r_pm = _limiter(cfg.limiter, (ps_ip - p) / (ps_i - p_m + eps))
+        r_up = _limiter(cfg.limiter, (u_m - us_im) / (uax - us_i + eps))
+        r_pp = _limiter(cfg.limiter, (p_m - ps_im) / (p - ps_i + eps))
+
+        dm_l = rho_m * dx
+        dm_r = rho * dx
+        Dm = (dm_l + dm_r) / 2
+        rc_l = rho_m * c_m
+        rc_r = rho * c
+        theta = T(0.5) * (1 - (rc_l + rc_r) / 2 * (dt / Dm))
+
+        ustar = us_i + theta * (r_up * (uax - us_i) - r_um * (us_i - u_m))
+        pstar = ps_i + theta * (r_pp * (p - ps_i) - r_pm * (ps_i - p_m))
+
+    # ---- Lagrangian cell update (src/kernels.jl:58-68)
+    us_p = sh(ustar, 1)
+    ps_p = sh(pstar, 1)
+    dm = rho * dx
+    rho1 = dm / (dx + dt * (us_p - ustar))
+    uax1 = uax + dt / dm * (pstar - ps_p)
+    E1 = E + dt / dm * (pstar * ustar - ps_p * us_p)
+
+    # ---- Advection fluxes (src/projection_schemes.jl:62-124)
+    disp = dt * ustar
+    up = disp > 0
+
+    if cfg.projection == "euler":
+        def pick(a):
+            return jnp.where(up, sh(a, -1), a)
+        adv_rho = disp * pick(rho1)
+        adv_ur = disp * pick(rho1 * uax1)
+        adv_vr = disp * pick(rho1 * uot)
+        adv_Er = disp * pick(rho1 * E1)
+    else:
+        def rd(a, o):
+            return jnp.where(up, sh(a, o - 1), sh(a, o))
+        dxe = jnp.where(up, -(dx - dt * sh(ustar, -1)), dx + dt * sh(ustar, 1))
+        dxl_m = dx + dt * (rd(ustar, 0) - rd(ustar, -1))
+        dxl = dx + dt * (rd(ustar, 1) - rd(ustar, 0))
+        dxl_p = dx + dt * (rd(ustar, 2) - rd(ustar, 1))
+        r_m = (2 * dxl) / (dxl + dxl_m)
+        r_p = (2 * dxl) / (dxl + dxl_p)
+
+        def slope(m, i, pp):
+            du_p = r_p * (pp - i)
+            du_m = r_m * (i - m)
+            sgn = jnp.sign(du_p)
+            return sgn * jnp.maximum(0.0, jnp.minimum(sgn * du_p, sgn * du_m))
+
+        rr_m, rr_i, rr_p = rd(rho1, -1), rd(rho1, 0), rd(rho1, 1)
+        uu_m, uu_i, uu_p = rd(uax1, -1), rd(uax1, 0), rd(uax1, 1)
+        vv_m, vv_i, vv_p = rd(uot, -1), rd(uot, 0), rd(uot, 1)
+        EE_m, EE_i, EE_p = rd(E1, -1), rd(E1, 0), rd(E1, 1)
+
+        sl_rho = slope(rr_m, rr_i, rr_p)
+        sl_ur = slope(rr_m * uu_m, rr_i * uu_i, rr_p * uu_p)
+        sl_vr = slope(rr_m * vv_m, rr_i * vv_i, rr_p * vv_p)
+        sl_Er = slope(rr_m * EE_m, rr_i * EE_i, rr_p * EE_p)
+
+        lf = dxe / (2 * dxl)
+        adv_rho = disp * (rr_i - sl_rho * lf)
+        adv_ur = disp * (rr_i * uu_i - sl_ur * lf)
+        adv_vr = disp * (rr_i * vv_i - sl_vr * lf)
+        adv_Er = disp * (rr_i * EE_i - sl_Er * lf)
+
+    # ---- Projection (src/projection_schemes.jl:23-41)
+    dX = dx + dt * (us_p - ustar)
+    tmp_rho = (dX * rho1 - (sh(adv_rho, 1) - adv_rho)) / dx
+    tmp_ur = (dX * rho1 * uax1 - (sh(adv_ur, 1) - adv_ur)) / dx
+    tmp_vr = (dX * rho1 * uot - (sh(adv_vr, 1) - adv_vr)) / dx
+    tmp_Er = (dX * rho1 * E1 - (sh(adv_Er, 1) - adv_Er)) / dx
+
+    rho2 = tmp_rho
+    uax2 = tmp_ur / tmp_rho
+    uot2 = tmp_vr / tmp_rho
+    E2 = tmp_Er / tmp_rho
+    return rho2, uax2, uot2, E2, p, c
+
+
+# ------------------------------------------------------------------- kernels
+
+def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0):
+    """Per-tile CFL min over real cells (`src/reductions.jl:2-20`), using the
+    post-sweep velocities with the pre-sweep sound speed (see module doc)."""
+    g = cfg.nghost
+    nx, ny = cfg.n_local
+    shp = u_new.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + col0
+    real = ((rows >= g) & (rows < g + ny) & (cols >= g) & (cols < g + nx))
+    dx, dy = T(cfg.dx), T(cfg.dy)
+    dt_x = dx / jnp.maximum(jnp.abs(u_new + c_old), jnp.abs(u_new - c_old))
+    dt_y = dy / jnp.maximum(jnp.abs(v_new + c_old), jnp.abs(v_new - c_old))
+    cell = jnp.minimum(dt_x, dt_y)
+    big = T(np.finfo(cfg.dtype).max)
+    return jnp.min(jnp.where(real, cell, big))
+
+
+def _x_sweep_kernel(cfg, tile_r, dt_ref, rho_ref, u_ref, v_ref, E_ref,
+                    rho_o, u_o, v_o, E_o, p_o, dtmin_o):
+    T = np.dtype(cfg.dtype).type
+    dt = dt_ref[0, 0]
+    i = pl.program_id(0)
+
+    def sh(a, k):
+        # pltpu.roll requires a non-negative shift; (-k) % n is equivalent
+        # to jnp.roll(a, -k) wrap-around semantics.
+        return pltpu.roll(a, (-k) % a.shape[1], 1) if k else a
+
+    rho, u, v, E = rho_ref[:], u_ref[:], v_ref[:], E_ref[:]
+    rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dx),
+                                               rho, u, v, E)
+    rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = rho2, u2, v2, E2, p_st
+
+    # Min-accumulate into a revisited (8, 128) VMEM block: the TPU grid runs
+    # sequentially, so the block carries the running min across tiles.
+    @pl.when(i == 0)
+    def _():
+        dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
+
+    m = _dt_tile_min(cfg, T, u2, v2, c_st, i * tile_r, 0)
+    dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
+
+
+def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, dt_ref,
+                    rho_c, rho_a, rho_b, u_c, u_a, u_b,
+                    v_c, v_a, v_b, E_c, E_a, E_b,
+                    rho_o, u_o, v_o, E_o, p_o, dtmin_o):
+    T = np.dtype(cfg.dtype).type
+    dt = dt_ref[0, 0]
+    ci = pl.program_id(0)
+    cj = pl.program_id(1)
+    H = 4  # halo rows actually needed (full dependency depth)
+
+    def halo_cat(cur, above, below):
+        # above/below are 8-row aligned blocks; take the 4 rows adjacent to
+        # the chunk. Wrong values at the padded edges land in cells whose
+        # results are never read (outer ghost ring).
+        return jnp.concatenate([above[halo_blk - H:, :], cur, below[:H, :]], 0)
+
+    rho = halo_cat(rho_c[:], rho_a[:], rho_b[:])
+    u = halo_cat(u_c[:], u_a[:], u_b[:])
+    v = halo_cat(v_c[:], v_a[:], v_b[:])
+    E = halo_cat(E_c[:], E_a[:], E_b[:])
+
+    def sh(a, k):
+        return pltpu.roll(a, (-k) % a.shape[0], 0) if k else a
+
+    # Y sweep: the axis velocity is v
+    rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dy),
+                                               rho, v, u, E)
+
+    sl = slice(H, H + chunk)
+    rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
+        rho2[sl], u2[sl], v2[sl], E2[sl], p_st[sl]
+
+    @pl.when((ci == 0) & (cj == 0))
+    def _():
+        dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
+
+    m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl],
+                     ci * chunk, cj * tile_c)
+    dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
+
+
+# ------------------------------------------------------------------ wrappers
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "axis", "interpret"))
+def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
+    """Run one fused sweep. Returns (rho, u, v, E, p_stale, local_dt_min).
+
+    Ghost bands of rho/u/v/E along `axis` must be pre-filled (mirror BC or
+    halo exchange)."""
+    rows, cols = rho.shape
+    T = np.dtype(cfg.dtype).type
+    dt_arr = jnp.asarray(dt, cfg.dtype).reshape(1, 1)
+
+    out_field = lambda: jax.ShapeDtypeStruct((rows, cols), cfg.dtype)
+    # Mosaic's default scoped-VMEM limit is 16MB; the fused kernel keeps
+    # ~25 live tile temporaries, so raise it (v5e/v5p have 128MB VMEM).
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if axis is Axis.X:
+        tile_r = 32 if rows % 8 == 0 else rows
+        while rows % 8 == 0 and (rows % tile_r) and tile_r > 8:
+            tile_r //= 2
+        grid = (pl.cdiv(rows, tile_r),)
+        field_spec = pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+        kernel = functools.partial(_x_sweep_kernel, cfg, tile_r)
+        dtmin_spec = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM)] + [field_spec] * 4,
+            out_specs=[field_spec] * 5 + [dtmin_spec],
+            out_shape=[out_field()] * 5 + [
+                jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(dt_arr, rho, u, v, E)
+    else:
+        halo_blk = 8
+        chunk = _pick_chunk(rows)
+        tile_c = _pick_tile_c(cols, chunk)
+        nci, ncj = pl.cdiv(rows, chunk), pl.cdiv(cols, tile_c)
+        grid = (nci, ncj)
+
+        cur = pl.BlockSpec((chunk, tile_c), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+        blocks_above = rows // halo_blk  # number of 8-row blocks
+
+        def above_map(i, j):
+            return (jnp.maximum(i * (chunk // halo_blk) - 1, 0), j)
+
+        def below_map(i, j):
+            return (jnp.minimum((i + 1) * (chunk // halo_blk),
+                                blocks_above - 1), j)
+
+        above = pl.BlockSpec((halo_blk, tile_c), above_map,
+                             memory_space=pltpu.VMEM)
+        below = pl.BlockSpec((halo_blk, tile_c), below_map,
+                             memory_space=pltpu.VMEM)
+
+        kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c, halo_blk)
+        in_specs = [pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                 memory_space=pltpu.SMEM)]
+        for _ in range(4):
+            in_specs += [cur, above, below]
+        args = [dt_arr]
+        for a in (rho, u, v, E):
+            args += [a, a, a]
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[cur] * 5 + [
+                pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_shape=[out_field()] * 5 + [
+                jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(*args)
+
+    rho2, u2, v2, E2, p_st, dt_tiles = out
+    return rho2, u2, v2, E2, p_st, jnp.min(dt_tiles)
+
+
+def _pick_chunk(rows):
+    """Chunk height: multiple of 8 dividing the work reasonably."""
+    if rows <= 264:
+        return _round_up(rows, 8)
+    return 256
+
+
+def _pick_tile_c(cols, chunk):
+    if cols <= 512:
+        return _round_up(cols, 128)
+    # keep (chunk+16) * tile_c * ~16 bufs * 4B under ~8MB
+    budget = 8 * 1024 * 1024 // ((chunk + 16) * 16 * 4)
+    tile = max(128, (budget // 128) * 128)
+    return min(tile, _round_up(cols, 128))

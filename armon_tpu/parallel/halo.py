@@ -39,31 +39,30 @@ def _set_slab(buf, arr_ax, lo, hi, value):
     return buf.at[tuple(sl)].set(value)
 
 
-def _bc_factors(cfg, side):
+def _bc_factors(cfg, side, vars):
     """(nvars,) per-variable mirror factors for a global border
-    (`src/tests.jl:150-161` applied to COMM_VARS)."""
+    (`src/tests.jl:150-161` applied to the exchanged vars)."""
     u_f, v_f = cfg.test.boundary_factors(side)
     T = np.dtype(cfg.dtype).type
     facs = [T(u_f) if v == "u" else T(v_f) if v == "v" else T(1.0)
-            for v in COMM_VARS]
-    return np.asarray(facs, dtype=cfg.dtype).reshape(
-        (len(COMM_VARS),) + (1, 1))
+            for v in vars]
+    return np.asarray(facs, dtype=cfg.dtype).reshape((len(vars),) + (1, 1))
 
 
-def halo_exchange(cfg, state, axis: Axis):
-    """Exchange the `nghost`-wide halo slabs of the comm vars along `axis`
+def halo_exchange(cfg, state, axis: Axis, vars=COMM_VARS):
+    """Exchange the `nghost`-wide halo slabs of `vars` along `axis`
     with both mesh neighbours; apply mirror BC at global borders."""
     n_dev = cfg.proc_dims[int(axis)]
     if n_dev == 1:
         # Mesh is flat along this axis: only the global BC applies.
-        return boundary_conditions(cfg, state, axis)
+        return boundary_conditions(cfg, state, axis, vars)
 
     ax_name = cfg.axis_names[int(axis)]
     g = cfg.nghost
     arr_ax = axis.array_axis
     idx = lax.axis_index(ax_name)
 
-    buf = jnp.stack([getattr(state, v) for v in COMM_VARS])
+    buf = jnp.stack([getattr(state, v) for v in vars])
     size = buf.shape[arr_ax + 1]
 
     # Real-cell slabs adjacent to each border
@@ -79,8 +78,8 @@ def halo_exchange(cfg, state, axis: Axis):
 
     # Mirror-BC slabs for the global borders (src/halo_exchange.jl:2-36)
     side_lo, side_hi = sides_along(axis)
-    mirror_lo = jnp.flip(first_real, axis=arr_ax + 1) * _bc_factors(cfg, side_lo)
-    mirror_hi = jnp.flip(last_real, axis=arr_ax + 1) * _bc_factors(cfg, side_hi)
+    mirror_lo = jnp.flip(first_real, axis=arr_ax + 1) * _bc_factors(cfg, side_lo, vars)
+    mirror_hi = jnp.flip(last_real, axis=arr_ax + 1) * _bc_factors(cfg, side_hi, vars)
 
     ghosts_lo = jnp.where(idx == 0, mirror_lo, recv_from_prev)
     ghosts_hi = jnp.where(idx == n_dev - 1, mirror_hi, recv_from_next)
@@ -88,4 +87,4 @@ def halo_exchange(cfg, state, axis: Axis):
     buf = _set_slab(buf, arr_ax, 0, g, ghosts_lo)
     buf = _set_slab(buf, arr_ax, size - g, size, ghosts_hi)
 
-    return state._replace(**{v: buf[k] for k, v in enumerate(COMM_VARS)})
+    return state._replace(**{v: buf[k] for k, v in enumerate(vars)})

@@ -32,22 +32,26 @@ def bench(n=8192, dtype=np.float32, cycles=50, tier=None):
         kernel_tier=tier,
     )
     init = make_init(params)
-    state = jax.block_until_ready(init())
+    state = init()
     loop = make_jit_loop(params)
 
-    # Warm-up / compile
+    # Warm-up / compile. NOTE: on the axon TPU platform block_until_ready
+    # does not actually synchronize — a host read of an output scalar does.
     out = loop(state)
-    jax.block_until_ready(out)
+    _ = float(np.asarray(out[1]))
 
-    t0 = time.perf_counter()
-    state2, t, ran_cycles, dt, ok = loop(state)
-    jax.block_until_ready(state2)
-    elapsed = time.perf_counter() - t0
+    best = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        state2, t, ran_cycles, dt, ok = loop(state)
+        _ = float(np.asarray(t))  # forces completion
+        elapsed = time.perf_counter() - t0
+        best = min(best, elapsed)
 
     ran = int(ran_cycles)
     assert bool(ok) and ran == cycles, (ran, bool(ok))
-    cells_per_sec = n * n * ran / elapsed
-    return cells_per_sec, elapsed, ran
+    cells_per_sec = n * n * ran / best
+    return cells_per_sec, best, ran
 
 
 def main():
