@@ -158,7 +158,7 @@ def make_cycle(params):
 
 # ------------------------------------------------------------------ drivers
 
-def _python_cycle_driver(params, state, checkpoint=None):
+def _python_cycle_driver(params, state, checkpoint=None, solver_log=None):
     """Per-cycle (and optionally per-step) host loop. Returns
     (state, t, cycles, last_dt)."""
     cfg = params.config
@@ -209,6 +209,7 @@ def _python_cycle_driver(params, state, checkpoint=None):
             T(np.finfo(cfg.dtype).max)
 
     while t < T(cfg.maxtime) and cycles < cfg.maxcycle:
+        cycle_start = time.perf_counter()
         if fused:
             state, dt_use, dt_next, local_min, ok = cycle_fn(
                 state, dt_prev, np.int32(cycles), local_min)
@@ -224,6 +225,11 @@ def _python_cycle_driver(params, state, checkpoint=None):
         t = t + T(dt_use)
         cycles += 1
         dt_prev = dt_next
+
+        if solver_log is not None:
+            jax.block_until_ready(state)
+            solver_log.push(cycles, float(t), float(dt_use),
+                            time.perf_counter() - cycle_start)
 
         if params.silent <= 1:
             m, e = conservation(state)
@@ -336,30 +342,43 @@ def armon(params: ArmonParameters, checkpoint=None) -> SolverStats:
     if params.silent < 3:
         print(params)
 
+    from ..utils.profiling import Timer, section, trace
+    from ..utils.solver_log import SolverLog
+    timer = Timer() if params.measure_time else None
+    solver_log = SolverLog(cfg.n_global[0] * cfg.n_global[1]) \
+        if params.log_blocks else None
+
     t_start = time.perf_counter()
-    init_fn = make_init(params)
-    state = jax.block_until_ready(init_fn())
+    with section("init", timer, time_async=params.time_async):
+        init_fn = make_init(params)
+        state = jax.block_until_ready(init_fn())
 
     if params.check_result or params.silent <= 1:
-        m, e = make_conservation(params)(state)
-        params.initial_mass, params.initial_energy = float(m), float(e)
+        with section("conservation_vars", timer):
+            m, e = make_conservation(params)(state)
+            params.initial_mass, params.initial_energy = float(m), float(e)
 
     solve_start = time.perf_counter()
     use_python_loop = (params.silent <= 1 or params.animation_step != 0
-                       or params.compare or checkpoint is not None)
+                       or params.compare or checkpoint is not None
+                       or solver_log is not None)
     if params.compare and checkpoint is None:
         checkpoint = make_file_checkpoint(params)
 
-    if use_python_loop:
-        state, final_t, cycles, last_dt = _python_cycle_driver(
-            params, state, checkpoint=checkpoint)
-    else:
-        loop = make_jit_loop(params)
-        state, t, cycles, last_dt, ok = loop(state)
-        state = jax.block_until_ready(state)
-        if not bool(ok):
-            solver_error("time", f"Invalid time step at cycle {int(cycles)}")
-        final_t, cycles, last_dt = float(t), int(cycles), float(last_dt)
+    profile_ctx = trace(os.path.join(params.output_dir, "profile")) \
+        if "trace" in tuple(params.profiling) else _null_ctx()
+    with profile_ctx, section("solver_cycle", timer):
+        if use_python_loop:
+            state, final_t, cycles, last_dt = _python_cycle_driver(
+                params, state, checkpoint=checkpoint, solver_log=solver_log)
+        else:
+            loop = make_jit_loop(params)
+            state, t, cycles, last_dt, ok = loop(state)
+            # On some PJRT backends block_until_ready does not synchronize;
+            # a host read does.
+            final_t, cycles, last_dt = float(t), int(cycles), float(last_dt)
+            if not bool(ok):
+                solver_error("time", f"Invalid time step at cycle {cycles}")
 
     solve_time = time.perf_counter() - solve_start
 
@@ -385,8 +404,8 @@ def armon(params: ArmonParameters, checkpoint=None) -> SolverStats:
         cell_count=cell_count,
         giga_cells_per_sec=1.0 / grind / 1e9 if cycles > 0 else 0.0,
         data=state if params.return_data else None,
-        timer={"init": solve_start - t_start, "solve": solve_time}
-        if params.measure_time else None,
+        timer=timer.report() if timer is not None else None,
+        grid_log=solver_log,
     )
 
     if params.write_output:
@@ -466,6 +485,14 @@ def _print_summary(stats, params):
     print(f"Cells/sec:   {stats.giga_cells_per_sec * 1e3:.5f} Mega cells/sec")
     print(f"Cycles:      {stats.cycles}")
     print(f"Last cycle:  {stats.final_time:.18f} sec, dt={stats.last_dt:.18f} sec")
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _null_ctx():
+    yield
 
 
 def _ensure_x64(cfg):

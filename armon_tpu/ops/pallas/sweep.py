@@ -312,12 +312,13 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
     out_field = lambda: jax.ShapeDtypeStruct((rows, cols), cfg.dtype)
     # Mosaic's default scoped-VMEM limit is 16MB; the fused kernel keeps
     # ~25 live tile temporaries, so raise it (v5e/v5p have 128MB VMEM).
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    from ...parallel.blocking import plan_tiles, VMEM_BUDGET
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
+    plan = plan_tiles(rows, cols, np.dtype(cfg.dtype).itemsize,
+                      getattr(cfg, "block_size", None))
 
     if axis is Axis.X:
-        tile_r = 32 if rows % 8 == 0 else rows
-        while rows % 8 == 0 and (rows % tile_r) and tile_r > 8:
-            tile_r //= 2
+        tile_r = plan.x_tile_rows
         grid = (pl.cdiv(rows, tile_r),)
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
@@ -336,9 +337,9 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
             interpret=interpret,
         )(dt_arr, rho, u, v, E)
     else:
-        halo_blk = 8
-        chunk = _pick_chunk(rows)
-        tile_c = _pick_tile_c(cols, chunk)
+        halo_blk = plan.halo_block
+        chunk = plan.y_chunk_rows
+        tile_c = plan.y_tile_cols
         nci, ncj = pl.cdiv(rows, chunk), pl.cdiv(cols, tile_c)
         grid = (nci, ncj)
 
@@ -381,19 +382,3 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
 
     rho2, u2, v2, E2, p_st, dt_tiles = out
     return rho2, u2, v2, E2, p_st, jnp.min(dt_tiles)
-
-
-def _pick_chunk(rows):
-    """Chunk height: multiple of 8 dividing the work reasonably."""
-    if rows <= 264:
-        return _round_up(rows, 8)
-    return 256
-
-
-def _pick_tile_c(cols, chunk):
-    if cols <= 512:
-        return _round_up(cols, 128)
-    # keep (chunk+16) * tile_c * ~16 bufs * 4B under ~8MB
-    budget = 8 * 1024 * 1024 // ((chunk + 16) * 16 * 4)
-    tile = max(128, (budget // 128) * 128)
-    return min(tile, _round_up(cols, 128))

@@ -1,0 +1,90 @@
+"""VMEM tile planner — the TPU replacement for the cache-blocking runtime.
+
+The reference cuts each sub-domain into cache blocks sized to fit L2
+(`src/blocking/block_grid.jl`, defaults (64,64) CPU / (32,32) GPU at
+`src/parameters.jl:505-513`) and schedules them with threads + a lock-free
+interface. On TPU the same role is played by the Pallas grid: tiles stream
+through VMEM, double-buffered by Mosaic, with no host scheduler
+(SURVEY.md §2.4 "task parallelism" row).
+
+This module turns the user's ``block_size`` hint (kept for config parity)
+plus the padded array shape into the fused kernels' tile parameters, and
+provides the exact byte accounting that `memory_required` exposes
+(`src/blocking/block_grid.jl:598-709`).
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+# Mosaic's default scoped-VMEM budget we plan against (bytes). The fused
+# sweep kernel keeps ~25 live tile temporaries.
+VMEM_BUDGET = 100 * 1024 * 1024
+LIVE_BUFFERS = 25
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@dataclass(frozen=True)
+class TilePlan:
+    """Tile parameters for the fused sweep kernels."""
+    x_tile_rows: int          # X sweep: rows per full-width tile
+    y_chunk_rows: int         # Y sweep: rows per chunk (multiple of 8)
+    y_tile_cols: int          # Y sweep: lanes per tile (multiple of 128)
+    halo_block: int = 8       # aligned halo block height (>= dependency depth 4)
+
+
+def plan_tiles(rows: int, cols: int, itemsize: int,
+               block_size: Optional[Tuple[int, int]] = None) -> TilePlan:
+    """Choose tile sizes for a padded (rows, cols) block.
+
+    `block_size` is the reference's cache-block option
+    (`src/parameters.jl:497-516`); when given, it bounds the Y-sweep tile
+    (clamped to hardware alignment and the VMEM budget).
+    """
+    # X sweep: full-width row tiles; rows are independent so any multiple of
+    # the 8-sublane tiling works. Measured on v5e: throughput is flat in
+    # tile_r (DMA-ceiling bound), so prefer a divisor of `rows` to avoid
+    # ragged tails, falling back to 8.
+    x_tile = 32 if rows % 8 == 0 else rows
+    while rows % 8 == 0 and (rows % x_tile) and x_tile > 8:
+        x_tile //= 2
+
+    # Y sweep: (chunk + 2*halo) x tile_c buffers, LIVE_BUFFERS of them.
+    if rows <= 264:
+        chunk = _round_up(rows, 8)
+    else:
+        chunk = 256
+    if block_size is not None:
+        by = max(8, _round_up(min(block_size[1], rows), 8))
+        chunk = min(chunk, by)
+
+    if cols <= 512:
+        tile_c = _round_up(cols, 128)
+    else:
+        budget = VMEM_BUDGET // 8  # conservative slice of the scoped budget
+        per_lane = (chunk + 16) * LIVE_BUFFERS * itemsize
+        tile_c = max(128, (budget // per_lane // 128) * 128)
+        tile_c = min(tile_c, _round_up(cols, 128))
+    if block_size is not None:
+        bx = max(128, _round_up(min(block_size[0], cols), 128))
+        tile_c = min(tile_c, bx)
+
+    return TilePlan(x_tile_rows=x_tile, y_chunk_rows=chunk, y_tile_cols=tile_c)
+
+
+def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
+                    n_fields: int = 11, comm_vars: int = 7) -> dict:
+    """Exact byte accounting per device
+    (analog of `src/blocking/block_grid.jl:598-709`)."""
+    nx, ny = n_local
+    rows, cols = ny + 2 * nghost, nx + 2 * nghost
+    state = n_fields * rows * cols * itemsize
+    # halo slabs: nghost-deep bands on all four sides for the comm vars
+    halo = 2 * (rows + cols) * nghost * comm_vars * itemsize
+    return {
+        "per_device_state_bytes": state,
+        "per_device_halo_bytes": halo,
+        "per_device_total_bytes": state + halo,
+    }

@@ -183,8 +183,14 @@ class ArmonParameters:
             solver_error("config", f"Unknown kernel_tier: '{self.kernel_tier}'")
 
     def _init_profiling(self, o):
-        """src/parameters.jl:532-575"""
-        self.profiling = o.pop("profiling", [])
+        """src/parameters.jl:532-575. Known profilers: 'trace'
+        (jax.profiler XPlane dump — the NVTX/CUDA-profiler analog)."""
+        self.profiling = list(o.pop("profiling", []))
+        unknown = set(map(str, self.profiling)) - {"trace"}
+        if unknown:
+            solver_error("config", "Unknown profiler" +
+                         ("s" if len(unknown) > 1 else "") + ": " +
+                         ", ".join(sorted(unknown)))
         self.measure_time = bool(o.pop("measure_time", True))
         self.time_async = bool(o.pop("time_async", True))
         self.log_blocks = bool(o.pop("log_blocks", False))
@@ -254,20 +260,19 @@ class ArmonParameters:
                 dt_on_even_cycles=self.dt_on_even_cycles,
                 proc_dims=self.P,
                 kernel_tier=self.kernel_tier,
+                block_size=tuple(self.block_size) if self.block_size else None,
             )
         return self._config
 
     def memory_required(self) -> dict:
         """Byte accounting, analog of `src/blocking/block_grid.jl:598-709`."""
-        rows, cols = self.config.local_shape
-        nfields = len(State._fields)
-        per_device = nfields * rows * cols * self.data_type.itemsize
-        halo = 2 * (rows + cols) * self.nghost * 7 * self.data_type.itemsize
-        return {
-            "per_device_state_bytes": per_device,
-            "per_device_halo_bytes": halo,
-            "total_bytes": (per_device + halo) * self.P[0] * self.P[1],
-        }
+        from .parallel.blocking import memory_required as _mem
+        mem = _mem(self.n_local, self.nghost, self.data_type.itemsize,
+                   n_fields=len(State._fields))
+        mem["total_bytes"] = mem["per_device_total_bytes"] * self.P[0] * self.P[1]
+        # reference key parity
+        mem["per_device_state_bytes"] = mem["per_device_state_bytes"]
+        return mem
 
     def __repr__(self):
         return (f"ArmonParameters(test={self.test!r}, N={self.N}, "

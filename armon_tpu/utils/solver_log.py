@@ -1,0 +1,62 @@
+"""Per-cycle solver log and statistics.
+
+The analog of the reference's block-log subsystem (`log_blocks=true`:
+`BlockLogEvent`/`ThreadLogEvent` capture, `src/solver_state.jl:230-263`,
+crunched by `src/logging.jl:75-300` into cache-efficiency stats). Its
+purpose there is to observe the async block scheduler — stalls, MPI-wait
+fraction, cycle-time variance. Under XLA there is no host scheduler to
+observe; the equivalent operational signals are per-cycle wall times, dt
+evolution and throughput, which this module captures and summarizes
+(`analyse` mirrors `analyse_log_stats`'s mean/σ reporting).
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import List
+
+
+@dataclass
+class CycleLogEvent:
+    cycle: int
+    t: float
+    dt: float
+    wall_seconds: float
+
+
+@dataclass
+class SolverLog:
+    cell_count: int
+    events: List[CycleLogEvent] = field(default_factory=list)
+
+    def push(self, cycle, t, dt, wall_seconds):
+        self.events.append(CycleLogEvent(cycle, t, dt, wall_seconds))
+
+    def analyse(self) -> dict:
+        """Summary stats (mean/σ cycle time, throughput, dt range) — the
+        `BlockGridLogStats` analog (`src/logging.jl:75-300`)."""
+        if not self.events:
+            return {"cycles": 0}
+        walls = [e.wall_seconds for e in self.events]
+        n = len(walls)
+        mean = sum(walls) / n
+        var = sum((w - mean) ** 2 for w in walls) / n
+        return {
+            "cycles": n,
+            "mean_cycle_seconds": mean,
+            "std_cycle_seconds": math.sqrt(var),
+            "min_cycle_seconds": min(walls),
+            "max_cycle_seconds": max(walls),
+            "mega_cells_per_sec": self.cell_count / mean / 1e6,
+            "dt_first": self.events[0].dt,
+            "dt_last": self.events[-1].dt,
+            "final_time": self.events[-1].t,
+        }
+
+    def __repr__(self):
+        a = self.analyse()
+        if a["cycles"] == 0:
+            return "SolverLog(empty)"
+        return (f"SolverLog({a['cycles']} cycles, "
+                f"{a['mean_cycle_seconds']*1e3:.3f}±"
+                f"{a['std_cycle_seconds']*1e3:.3f} ms/cycle, "
+                f"{a['mega_cells_per_sec']:.1f} Mcells/s)")

@@ -1,0 +1,93 @@
+"""Profiling sections, timer report and the per-cycle solver log
+(the reference's `test/logging.jl` analog for the TPU observability layer,
+SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from conftest import reference_params
+
+from armon_tpu import armon, SolverException, ArmonParameters
+
+
+def test_timer_report():
+    params = reference_params("Sod", np.float64, maxcycle=3, measure_time=True)
+    stats = armon(params)
+    assert stats.timer is not None
+    assert "init" in stats.timer and "solver_cycle" in stats.timer
+    assert stats.timer["solver_cycle"]["seconds"] > 0
+    assert stats.timer["solver_cycle"]["calls"] == 1
+
+
+def test_solver_log():
+    params = reference_params("Sod", np.float64, maxcycle=5, log_blocks=True)
+    stats = armon(params)
+    log = stats.grid_log
+    assert log is not None and len(log.events) == 5
+    a = log.analyse()
+    assert a["cycles"] == 5
+    assert a["mega_cells_per_sec"] > 0
+    assert a["dt_first"] > 0 and a["final_time"] > 0
+    assert "ms/cycle" in repr(log)
+
+
+def test_unknown_profiler_rejected():
+    with pytest.raises(SolverException, match="Unknown profiler"):
+        ArmonParameters(test="Sod", profiling=["nvtx"])
+
+
+def test_domain_ranges():
+    """Slice-algebra parity with `src/domain_ranges.jl` + steps ranges
+    (`src/parameters.jl:988-1025`)."""
+    from armon_tpu.utils.domain_ranges import (
+        DomainRange, compute_steps_ranges)
+    from armon_tpu.utils.enums import Axis
+
+    r = DomainRange((0, 10), (0, 8))
+    assert r.shape == (8, 10) and r.size == 80
+    assert r.expand(Axis.X, 2, 3).x == (-2, 13)
+    assert r.shift(Axis.Y, 4).y == (4, 12)
+    assert r.inflate(4).shape == (16, 18)
+    assert r.array_slices(4) == (slice(4, 12), slice(4, 14))
+
+    # euler_2nd: extra = 2 (src/projection_schemes.jl:12)
+    sr = compute_steps_ranges(Axis.X, (100, 100), 4, "euler_2nd")
+    assert sr.fluxes.x == (-2, 103) and sr.fluxes.y == (0, 100)
+    assert sr.cell_update.x == (-2, 102)
+    assert sr.advection.x == (0, 101)
+    assert sr.projection.x == (0, 100)
+    assert sr.full_domain.shape == (108, 108)
+
+    sr_y = compute_steps_ranges(Axis.Y, (100, 100), 4, "euler")
+    assert sr_y.fluxes.y == (-1, 102) and sr_y.fluxes.x == (0, 100)
+
+
+def test_tile_planner():
+    from armon_tpu.parallel.blocking import plan_tiles, memory_required
+
+    plan = plan_tiles(2056, 2056, 4)
+    assert plan.y_chunk_rows % 8 == 0
+    assert plan.y_tile_cols % 128 == 0
+
+    # block_size hint caps the Y tile (cache-block option parity)
+    plan2 = plan_tiles(2056, 2056, 4, block_size=(256, 64))
+    assert plan2.y_chunk_rows == 64
+    assert plan2.y_tile_cols <= 256
+
+    mem = memory_required((100, 100), 4, 8)
+    assert mem["per_device_state_bytes"] == 11 * 108 * 108 * 8
+
+
+def test_block_size_end_to_end():
+    """A custom block_size must not change the fused-tier solution."""
+    base = reference_params("Sod", np.float64, maxcycle=5, return_data=True,
+                            kernel_tier="pallas")
+    alt = reference_params("Sod", np.float64, maxcycle=5, return_data=True,
+                           kernel_tier="pallas", block_size=(256, 32))
+    s1 = armon(base)
+    s2 = armon(alt)
+    assert s1.cycles == s2.cycles
+    a = np.asarray(s1.data.rho)
+    b = np.asarray(s2.data.rho)
+    g = base.nghost
+    assert np.allclose(a[g:-g, g:-g], b[g:-g, g:-g], rtol=1e-12, atol=0)

@@ -1,0 +1,107 @@
+"""Scheme-space coverage: every Riemann scheme x limiter x projection x
+splitting combination must run, conserve, and agree between the jnp and
+fused-Pallas tiers (the reference's scheme options, SURVEY.md §2.5)."""
+
+import numpy as np
+import pytest
+
+from conftest import reference_params
+
+from armon_tpu import armon
+from armon_tpu.core.solver import make_init, make_jit_loop, gather_state
+
+
+def run(params):
+    state = make_init(params)()
+    loop = make_jit_loop(params)
+    state, t, cycles, dt, ok = loop(state)
+    assert bool(ok)
+    return gather_state(params, state), int(cycles), float(dt), float(t)
+
+
+@pytest.mark.parametrize("scheme,limiter", [
+    ("Godunov", "minmod"),
+    ("GAD", "no_limiter"),
+    ("GAD", "minmod"),
+    ("GAD", "superbee"),
+])
+@pytest.mark.parametrize("projection", ["euler", "euler_2nd"])
+def test_tier_equivalence(scheme, limiter, projection):
+    kw = dict(N=(64, 64), maxcycle=8, scheme=scheme, riemann_limiter=limiter,
+              projection=projection)
+    h1, c1, d1, t1 = run(reference_params("Sod_circ", np.float64, **kw))
+    h2, c2, d2, t2 = run(reference_params("Sod_circ", np.float64,
+                                          kernel_tier="pallas", **kw))
+    assert c1 == c2
+    assert abs(d1 - d2) <= 1e-15 * max(1.0, abs(d1))
+    g = 4
+    for var in ("rho", "u", "v", "E"):
+        a = getattr(h1, var)[g:-g, g:-g]
+        b = getattr(h2, var)[g:-g, g:-g]
+        assert np.allclose(a, b, rtol=1e-11, atol=1e-13), var
+
+
+@pytest.mark.parametrize("splitting", ["Sequential", "SequentialSym",
+                                       "Godunov", "Strang", "X_only", "Y_only"])
+def test_splitting_methods(splitting):
+    params = reference_params("Sod" if splitting != "Y_only" else "Sod_y",
+                              np.float64, N=(50, 50), maxcycle=20,
+                              axis_splitting=splitting)
+    host, cycles, dt, t = run(params)
+    assert cycles == 20 and np.isfinite(dt) and t > 0
+    g = params.nghost
+    rho = host.rho[g:-g, g:-g]
+    assert np.isfinite(rho).all() and (rho > 0).all()
+
+
+def test_strang_conserves():
+    from armon_tpu.core.solver import make_conservation
+    params = reference_params("Sod_circ", np.float64, N=(50, 50), maxcycle=200,
+                              axis_splitting="Strang")
+    cons = make_conservation(params)
+    state = make_init(params)()
+    m0, e0 = map(float, cons(state))
+    loop = make_jit_loop(params)
+    state, t, cycles, dt, ok = loop(state)
+    m1, e1 = map(float, cons(state))
+    assert abs(m0 - m1) <= 1e-12 and abs(e0 - e1) <= 1e-12
+
+
+def test_cst_dt():
+    """cst_dt runs every cycle at exactly Dt (src/reductions.jl:131-133)."""
+    params = reference_params("Sod", np.float64, N=(50, 50), maxcycle=10,
+                              cst_dt=True, Dt=1e-4)
+    host, cycles, dt, t = run(params)
+    assert dt == 1e-4
+    assert abs(t - 10 * 1e-4) < 1e-15
+
+
+def test_dt_on_even_cycles():
+    """dt only changes after even cycles (src/reductions.jl:135)."""
+    from armon_tpu.core.solver import make_cycle
+    from armon_tpu.ops.eos import update_eos
+    params = reference_params("Sod", np.float64, N=(50, 50),
+                              dt_on_even_cycles=True)
+    cfg = params.config
+    state = update_eos(cfg, make_init(params)())
+    cyc = make_cycle(params)
+    dts = []
+    dt_prev = np.float64(0)
+    for i in range(6):
+        state, dt_use, dt_prev, ok = cyc(state, dt_prev, np.int32(i))
+        dts.append(float(dt_use))
+    # The dt is always one cycle stale (src/reductions.jl:117-125), so the
+    # even-cycle recompute takes effect one cycle later and holds for two:
+    # [c0, c0, c0, c2, c2, c4].
+    assert dts[0] == dts[1] == dts[2]
+    assert dts[3] == dts[4]
+    assert dts[2] != dts[3]
+    assert dts[4] != dts[5]
+
+
+def test_godunov_scheme_min_ghosts():
+    """Godunov + euler needs only 1 ghost (stencil product = 1)."""
+    params = reference_params("Sod", np.float64, N=(64, 64), maxcycle=10,
+                              scheme="Godunov", projection="euler", nghost=1)
+    host, cycles, dt, t = run(params)
+    assert cycles == 10 and np.isfinite(dt)
