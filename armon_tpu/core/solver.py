@@ -408,15 +408,21 @@ def armon(params: ArmonParameters, checkpoint=None) -> SolverStats:
         grid_log=solver_log,
     )
 
-    if params.write_output:
-        from ..io.output import write_state_file
+    if params.write_output or params.write_slices:
         os.makedirs(params.output_dir, exist_ok=True)
         path = os.path.join(params.output_dir, params.output_file)
-        write_state_file(cfg, gather_state(params, state), path,
-                         precision=params.output_precision,
-                         with_ghosts=params.write_ghosts)
-        if params.silent < 2:
-            print(f"\nWrote to file {path}")
+        host = gather_state(params, state)
+        if params.write_output:
+            from ..io.output import write_state_file
+            write_state_file(cfg, host, path,
+                             precision=params.output_precision,
+                             with_ghosts=params.write_ghosts)
+            if params.silent < 2:
+                print(f"\nWrote to file {path}")
+        if params.write_slices:
+            from ..io.slices import write_slices_files
+            write_slices_files(cfg, host, path,
+                               precision=params.output_precision)
 
     if params.silent < 3 and cycles > 0:
         _print_summary(stats, params)
