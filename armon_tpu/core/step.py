@@ -91,11 +91,40 @@ def fused_sweep_step(cfg, state, axis: Axis, dt):
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 
+def fused_cycle_step(cfg, state, pair, dt):
+    """Two consecutive sweeps covering both axes in ONE kernel pass
+    (`ops/pallas/sweep.py:fused_cycle`). Both ghost bands are pre-filled
+    from the pre-pair state: valid because a sweep commutes bitwise with the
+    orthogonal ghost fill (see the kernel docstring)."""
+    from ..ops.pallas.sweep import fused_cycle
+    T = np.dtype(cfg.dtype).type
+    state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
+    state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
+    (ax0, f0), (ax1, f1) = pair
+    x_first = ax0 is Axis.X
+    fx = f0 if x_first else f1
+    fy = f1 if x_first else f0
+    rho, u, v, E, p_stale, local_min = fused_cycle(
+        cfg, x_first, state.rho, state.u, state.v, state.E,
+        dt * T(fx), dt * T(fy), interpret=_pallas_interpret(cfg))
+    return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
+
+
 def run_schedule_fused(cfg, state, schedule, dt):
     T = np.dtype(cfg.dtype).type
     local_min = None
-    for axis, factor in schedule:
-        state, local_min = fused_sweep_step(cfg, state, axis, dt * T(factor))
+    i = 0
+    while i < len(schedule):
+        if (i + 1 < len(schedule)
+                and {schedule[i][0], schedule[i + 1][0]} == {Axis.X, Axis.Y}):
+            state, local_min = fused_cycle_step(
+                cfg, state, (schedule[i], schedule[i + 1]), dt)
+            i += 2
+        else:
+            axis, factor = schedule[i]
+            state, local_min = fused_sweep_step(cfg, state, axis,
+                                                dt * T(factor))
+            i += 1
     return state, local_min
 
 

@@ -382,3 +382,116 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
 
     rho2, u2, v2, E2, p_st, dt_tiles = out
     return rho2, u2, v2, E2, p_st, jnp.min(dt_tiles)
+
+
+# ------------------------------------------------- fully-fused cycle kernel
+
+def _cycle_kernel(cfg, chunk, x_first, dtx_ref, dty_ref,
+                  rho_c, rho_a, rho_b, u_c, u_a, u_b,
+                  v_c, v_a, v_b, E_c, E_a, E_b,
+                  rho_o, u_o, v_o, E_o, p_o, dtmin_o):
+    """Both sweeps of one cycle on a (chunk + 8)-row full-width tile.
+
+    Valid because (a) the X sweep is row-local, so computing it on the halo
+    rows too is exact, and (b) the X sweep commutes bitwise with the Y-side
+    ghost fill (mirror flips v, which the X sweep treats as a passive scalar
+    that is exactly odd under negation; halo copies are plain row copies) —
+    so pre-filling BOTH ghost bands from the pre-cycle state reproduces the
+    reference's EOS->BC-per-sweep schedule exactly. Symmetrically for the
+    Y-then-X order of Godunov/Strang odd cycles.
+    """
+    T = np.dtype(cfg.dtype).type
+    dtx = dtx_ref[0, 0]
+    dty = dty_ref[0, 0]
+    ci = pl.program_id(0)
+    H = 4
+
+    halo_blk = 8
+
+    def halo_cat(cur, above, below):
+        return jnp.concatenate([above[halo_blk - H:, :], cur, below[:H, :]], 0)
+
+    rho = halo_cat(rho_c[:], rho_a[:], rho_b[:])
+    u = halo_cat(u_c[:], u_a[:], u_b[:])
+    v = halo_cat(v_c[:], v_a[:], v_b[:])
+    E = halo_cat(E_c[:], E_a[:], E_b[:])
+
+    def shx(a, k):
+        return pltpu.roll(a, (-k) % a.shape[1], 1) if k else a
+
+    def shy(a, k):
+        return pltpu.roll(a, (-k) % a.shape[0], 0) if k else a
+
+    if x_first:
+        rho1, u1, v1, E1, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
+                                             rho, u, v, E)
+        rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, shy, dty, T(cfg.dy),
+                                                   rho1, v1, u1, E1)
+    else:
+        rho1, v1, u1, E1, _, _ = _sweep_math(cfg, shy, dty, T(cfg.dy),
+                                             rho, v, u, E)
+        rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, shx, dtx, T(cfg.dx),
+                                                   rho1, u1, v1, E1)
+
+    sl = slice(H, H + chunk)
+    rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
+        rho2[sl], u2[sl], v2[sl], E2[sl], p_st[sl]
+
+    @pl.when(ci == 0)
+    def _():
+        dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
+
+    m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], ci * chunk, 0)
+    dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "x_first", "interpret"))
+def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, interpret=False):
+    """One full cycle (two sweeps) in a single fused kernel pass.
+    BOTH ghost bands of rho/u/v/E must be pre-filled from the pre-cycle
+    state. Returns (rho, u, v, E, p_stale, local_dt_min)."""
+    rows, cols = rho.shape
+    dtx = jnp.asarray(dt_x, cfg.dtype).reshape(1, 1)
+    dty = jnp.asarray(dt_y, cfg.dtype).reshape(1, 1)
+    from ...parallel.blocking import VMEM_BUDGET, cycle_chunk_rows
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
+    chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize)
+    halo_blk = 8
+    nci = pl.cdiv(rows, chunk)
+    grid = (nci,)
+
+    cur = pl.BlockSpec((chunk, cols), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    blocks_tot = max(rows // halo_blk, 1)
+
+    def above_map(i):
+        return (jnp.maximum(i * (chunk // halo_blk) - 1, 0), 0)
+
+    def below_map(i):
+        return (jnp.minimum((i + 1) * (chunk // halo_blk), blocks_tot - 1), 0)
+
+    above = pl.BlockSpec((halo_blk, cols), above_map, memory_space=pltpu.VMEM)
+    below = pl.BlockSpec((halo_blk, cols), below_map, memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [smem, smem]
+    args = [dtx, dty]
+    for a in (rho, u, v, E):
+        in_specs += [cur, above, below]
+        args += [a, a, a]
+
+    kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[cur] * 5 + [pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                            memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((rows, cols), cfg.dtype)] * 5 + [
+            jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(*args)
+
+    rho2, u2, v2, E2, p_st, dt_tiles = out
+    return rho2, u2, v2, E2, p_st, jnp.min(dt_tiles)

@@ -74,6 +74,17 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     return TilePlan(x_tile_rows=x_tile, y_chunk_rows=chunk, y_tile_cols=tile_c)
 
 
+def cycle_chunk_rows(rows: int, cols: int, itemsize: int) -> int:
+    """Row-chunk height for the fully-fused cycle kernel: full-width
+    (chunk+8, cols) buffers, ~25 live temporaries, within the VMEM budget."""
+    if rows <= 264:
+        return _round_up(rows, 8)
+    budget = VMEM_BUDGET // 3  # leave room for Mosaic's i/o double buffers
+    per_row = cols * LIVE_BUFFERS * itemsize
+    chunk = max(8, ((budget // per_row - 8) // 8) * 8)
+    return min(chunk, 256)
+
+
 def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
                     n_fields: int = 11, comm_vars: int = 7) -> dict:
     """Exact byte accounting per device
