@@ -322,11 +322,15 @@ def gather_state(params, state: State) -> State:
         # interior from each block's real cells
         real = a[:, g:lr - g, :, g:lc - g]
         out[g:-g, g:-g] = real.reshape(py * (lr - 2 * g), px * (lc - 2 * g))
-        # global ghost bands come from the border blocks
+        # global ghost bands + corners come from the border blocks
         out[:g, g:-g] = a[0, :g, :, g:lc - g].reshape(g, nx)
         out[-g:, g:-g] = a[-1, lr - g:, :, g:lc - g].reshape(g, nx)
         out[g:-g, :g] = a[:, g:lr - g, 0, :g].reshape(ny, g)
         out[g:-g, -g:] = a[:, g:lr - g, -1, lc - g:].reshape(ny, g)
+        out[:g, :g] = a[0, :g, 0, :g]
+        out[:g, -g:] = a[0, :g, -1, lc - g:]
+        out[-g:, :g] = a[-1, lr - g:, 0, :g]
+        out[-g:, -g:] = a[-1, lr - g:, -1, lc - g:]
         return out
 
     return State(*[unblock(a) for a in state])
@@ -512,7 +516,27 @@ def device_to_host(params, state):
 
 
 def host_to_device(params, state_host: State) -> State:
+    """Inverse of `gather_state`: place a globally-padded host state onto the
+    device (mesh) — `host_to_device!` (`src/blocking/block_grid.jl:712-737`)."""
     cfg = params.config
     if not cfg.spmd:
         return jax.device_put(state_host)
-    raise NotImplementedError("host_to_device for sharded states: use make_init")
+
+    from jax.sharding import NamedSharding
+    from ..parallel.mesh import make_mesh, shard_state_spec
+    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices)
+    sharding = NamedSharding(mesh, shard_state_spec(cfg.axis_names))
+    lr, lc = cfg.local_shape
+    px, py = cfg.proc_dims
+    nxl, nyl = cfg.n_local
+
+    def block(a):
+        a = np.asarray(a)
+        out = np.empty((py * lr, px * lc), cfg.dtype)
+        for by in range(py):
+            for bx in range(px):
+                out[by * lr:(by + 1) * lr, bx * lc:(bx + 1) * lc] = \
+                    a[by * nyl:by * nyl + lr, bx * nxl:bx * nxl + lc]
+        return jax.device_put(out, sharding)
+
+    return State(*[block(a) for a in state_host])
