@@ -366,6 +366,10 @@ def armon(params: ArmonParameters, checkpoint=None) -> SolverStats:
     use_python_loop = (params.silent <= 1 or params.animation_step != 0
                        or params.compare or checkpoint is not None
                        or solver_log is not None)
+    if params.compare and cfg.spmd:
+        solver_error("config", "compare/is_ref checkpoint mode runs "
+                               "single-device; compare the gathered output "
+                               "files instead")
     if params.compare and checkpoint is None:
         checkpoint = make_file_checkpoint(params)
 

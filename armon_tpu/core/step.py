@@ -74,6 +74,19 @@ def solver_cycle(cfg, state, dt_prev, cycle):
 FUSED_EXCHANGE_VARS = ("rho", "u", "v", "E")
 
 
+from typing import NamedTuple
+
+
+class FusedCarry(NamedTuple):
+    """The live fields of the fused-tier loop (x, y, c, g, ustar, pstar are
+    untouched by the fused cycle and stay outside the carry)."""
+    rho: jax.Array
+    u: jax.Array
+    v: jax.Array
+    E: jax.Array
+    p: jax.Array
+
+
 def _pallas_interpret(cfg) -> bool:
     return jax.default_backend() != "tpu"
 
@@ -172,10 +185,10 @@ def make_time_loop(cfg):
                 return (t < maxtime) & (cycle < maxcycle) & ok
 
             def body(carry):
-                state, t, cycle, dt_prev, local_min, _ = carry
-                state, dt_use, dt_next, local_min, ok = solver_cycle_fused(
-                    cfg, state, dt_prev, cycle, local_min)
-                return (state, t + dt_use, cycle + 1, dt_next, local_min, ok)
+                fs, t, cycle, dt_prev, local_min, _ = carry
+                fs, dt_use, dt_next, local_min, ok = solver_cycle_fused(
+                    cfg, fs, dt_prev, cycle, local_min)
+                return (fs, t + dt_use, cycle + 1, dt_next, local_min, ok)
         else:
             def cond(carry):
                 _, t, cycle, _, ok = carry
@@ -201,9 +214,14 @@ def make_time_loop(cfg):
                 local0 = dt_cfl_min(cfg, state)
                 if cfg.spmd:
                     local0 = lax.pmin(local0, axis_name=cfg.axis_names)
-            carry = (state, T(0.0), np.int32(0), T(0.0), local0,
+            # Only the 5 live fields ride the loop carry — x, y, c, g,
+            # ustar, pstar are untouched by the fused cycle, and dropping
+            # them halves HBM pressure at capacity-limit grid sizes.
+            fs = FusedCarry(state.rho, state.u, state.v, state.E, state.p)
+            carry = (fs, T(0.0), np.int32(0), T(0.0), local0,
                      jnp.asarray(True))
-            state, t, cycles, dt_last, _, ok = lax.while_loop(cond, body, carry)
+            fs, t, cycles, dt_last, _, ok = lax.while_loop(cond, body, carry)
+            state = state._replace(rho=fs.rho, u=fs.u, v=fs.v, E=fs.E, p=fs.p)
         else:
             carry = (state, T(0.0), np.int32(0), T(0.0), jnp.asarray(True))
             state, t, cycles, dt_last, ok = lax.while_loop(cond, body, carry)

@@ -57,6 +57,27 @@ def pallas_supported(cfg) -> bool:
 
 # --------------------------------------------------------------- in-kernel math
 
+def _EXACT_DIV(a, b):
+    return a / b
+
+
+def _make_div(cfg, interpret):
+    """Division primitive: exact IEEE unless fast_math (f32, compiled) —
+    then the VPU's approximate reciprocal refined by one Newton step
+    (~1 ulp relative), the Pallas analog of the reference's @fastmath
+    default (`src/generic_kernel.jl:3`)."""
+    if (not cfg.fast_math or interpret
+            or np.dtype(cfg.dtype).itemsize != 4):
+        return _EXACT_DIV
+
+    def fast_div(a, b):
+        r = pl.reciprocal(b, approx=True)
+        r = r * (2.0 - b * r)  # Newton-Raphson refinement
+        return a * r
+
+    return fast_div
+
+
 def _limiter(name, r):
     # src/limiters.jl:6-8
     if name == "no_limiter":
@@ -67,77 +88,86 @@ def _limiter(name, r):
                        jnp.minimum(r, 2.0))
 
 
-def _eos(cfg, T, rho, u, v, E):
+def _eos(cfg, T, rho, u, v, E, div=None):
     """Returns (p, c). Same expressions as armon_tpu.ops.eos."""
+    if div is None:
+        div = _EXACT_DIV
     if isinstance(cfg.test, Bizarrium):
         rho0 = T(10000.0); K0 = T(1e11); Cv0 = T(1000.0); T0 = T(300.0)
         eps0 = T(0.0); G0 = T(1.5); s = T(1.5)
         q = T(-42080895.0 / 14941154.0); r = T(727668333.0 / 149411540.0)
         x = rho / rho0 - 1
-        G = G0 * (1 - rho0 / rho)
-        f0 = (1 + (s / 3 - 2) * x + q * x ** 2 + r * x ** 3) / (1 - s * x)
-        f1 = (s / 3 - 2 + 2 * q * x + 3 * r * x ** 2 + s * f0) / (1 - s * x)
+        G = G0 * (1 - div(rho0, rho))
+        f0 = div(1 + (s / 3 - 2) * x + q * x ** 2 + r * x ** 3, 1 - s * x)
+        f1 = div(s / 3 - 2 + 2 * q * x + 3 * r * x ** 2 + s * f0, 1 - s * x)
         epsk0 = eps0 - Cv0 * T0 * (1 + G) + 0.5 * (K0 / rho0) * x ** 2 * f0
         pk0 = -Cv0 * T0 * G0 * rho0 + 0.5 * K0 * x * (1 + x) ** 2 * (2 * f0 + x * f1)
         pk0prime = -0.5 * K0 * (1 + x) ** 3 * rho0 * (
             2 * (1 + 3 * x) * f0 + 2 * x * (2 + 3 * x) * f1
-            + x ** 2 * (1 + x) * ((2 * q + 6 * r * x + 2 * s * f1) / (1 - s * x)))
+            + x ** 2 * (1 + x) * div(2 * q + 6 * r * x + 2 * s * f1, 1 - s * x))
         e = E - 0.5 * (u ** 2 + v ** 2)
         p = pk0 + G0 * rho0 * (e - epsk0)
-        c = jnp.sqrt(G0 * rho0 * (p - pk0) - pk0prime) / rho
+        c = div(jnp.sqrt(G0 * rho0 * (p - pk0) - pk0prime), rho)
         return p, c
     gm = T(cfg.gamma)
     e = E - 0.5 * (u ** 2 + v ** 2)
     p = (gm - T(1.0)) * rho * e
-    c = jnp.sqrt(gm * p / rho)
+    c = jnp.sqrt(div(gm * p, rho))
     return p, c
 
 
-def _godunov(rho_i, rho_im, c_i, c_im, u_i, u_im, p_i, p_im):
+def _godunov(rho_i, rho_im, c_i, c_im, u_i, u_im, p_i, p_im, div=None):
     # src/riemann_schemes.jl:21-30
+    if div is None:
+        div = _EXACT_DIV
     rc_l = rho_im * c_im
     rc_r = rho_i * c_i
-    ustar = (rc_l * u_im + rc_r * u_i + (p_im - p_i)) / (rc_l + rc_r)
-    pstar = (rc_r * p_im + rc_l * p_i + rc_l * rc_r * (u_im - u_i)) / (rc_l + rc_r)
+    ustar = div(rc_l * u_im + rc_r * u_i + (p_im - p_i), rc_l + rc_r)
+    pstar = div(rc_r * p_im + rc_l * p_i + rc_l * rc_r * (u_im - u_i), rc_l + rc_r)
     return ustar, pstar
 
 
-def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E):
+def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None):
     """Full sweep on one tile. `sh(a, k)` reads at offset +k along the sweep
     axis. `uax` is the velocity along the axis, `uot` the other one, `dx` the
-    cell size along the axis (a T scalar). Returns
-    (rho', uax', uot', E', p_stale, c_stale)."""
+    cell size along the axis (a T scalar). `div` is the division primitive:
+    exact IEEE by default; approximate-reciprocal under `fast_math` (the
+    reference's own default build uses @fastmath, src/generic_kernel.jl:3).
+    Returns (rho', uax', uot', E', p_stale, c_stale)."""
     T = np.dtype(cfg.dtype).type
+    if div is None:
+        div = _EXACT_DIV
 
     # EOS (src/kernels.jl:4-13) — from the input (pre-sweep) state.
-    p, c = _eos(cfg, T, rho, uax, uot, E)
+    p, c = _eos(cfg, T, rho, uax, uot, E, div)
 
     # ---- Riemann fluxes
     if cfg.riemann == "Godunov":
         ustar, pstar = _godunov(rho, sh(rho, -1), c, sh(c, -1),
-                                uax, sh(uax, -1), p, sh(p, -1))
+                                uax, sh(uax, -1), p, sh(p, -1), div)
     else:  # GAD (src/riemann_schemes.jl:55-104)
         rho_m, rho_p, rho_m2 = sh(rho, -1), sh(rho, 1), sh(rho, -2)
         c_m, c_p, c_m2 = sh(c, -1), sh(c, 1), sh(c, -2)
         u_m, u_p, u_m2 = sh(uax, -1), sh(uax, 1), sh(uax, -2)
         p_m, p_p, p_m2 = sh(p, -1), sh(p, 1), sh(p, -2)
 
-        us_im, ps_im = _godunov(rho_m, rho_m2, c_m, c_m2, u_m, u_m2, p_m, p_m2)
-        us_i, ps_i = _godunov(rho, rho_m, c, c_m, uax, u_m, p, p_m)
-        us_ip, ps_ip = _godunov(rho_p, rho, c_p, c, u_p, uax, p_p, p)
+        us_im, ps_im = _godunov(rho_m, rho_m2, c_m, c_m2, u_m, u_m2,
+                                p_m, p_m2, div)
+        us_i, ps_i = _godunov(rho, rho_m, c, c_m, uax, u_m, p, p_m, div)
+        us_ip, ps_ip = _godunov(rho_p, rho, c_p, c, u_p, uax, p_p, p, div)
 
         eps = T(1e-6)
-        r_um = _limiter(cfg.limiter, (us_ip - uax) / (us_i - u_m + eps))
-        r_pm = _limiter(cfg.limiter, (ps_ip - p) / (ps_i - p_m + eps))
-        r_up = _limiter(cfg.limiter, (u_m - us_im) / (uax - us_i + eps))
-        r_pp = _limiter(cfg.limiter, (p_m - ps_im) / (p - ps_i + eps))
+        r_um = _limiter(cfg.limiter, div(us_ip - uax, us_i - u_m + eps))
+        r_pm = _limiter(cfg.limiter, div(ps_ip - p, ps_i - p_m + eps))
+        r_up = _limiter(cfg.limiter, div(u_m - us_im, uax - us_i + eps))
+        r_pp = _limiter(cfg.limiter, div(p_m - ps_im, p - ps_i + eps))
 
         dm_l = rho_m * dx
         dm_r = rho * dx
         Dm = (dm_l + dm_r) / 2
         rc_l = rho_m * c_m
         rc_r = rho * c
-        theta = T(0.5) * (1 - (rc_l + rc_r) / 2 * (dt / Dm))
+        theta = T(0.5) * (1 - (rc_l + rc_r) / 2 * div(dt, Dm))
 
         ustar = us_i + theta * (r_up * (uax - us_i) - r_um * (us_i - u_m))
         pstar = ps_i + theta * (r_pp * (p - ps_i) - r_pm * (ps_i - p_m))
@@ -146,9 +176,10 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E):
     us_p = sh(ustar, 1)
     ps_p = sh(pstar, 1)
     dm = rho * dx
-    rho1 = dm / (dx + dt * (us_p - ustar))
-    uax1 = uax + dt / dm * (pstar - ps_p)
-    E1 = E + dt / dm * (pstar * ustar - ps_p * us_p)
+    rho1 = div(dm, dx + dt * (us_p - ustar))
+    dt_dm = div(dt, dm)
+    uax1 = uax + dt_dm * (pstar - ps_p)
+    E1 = E + dt_dm * (pstar * ustar - ps_p * us_p)
 
     # ---- Advection fluxes (src/projection_schemes.jl:62-124)
     disp = dt * ustar
@@ -168,8 +199,8 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E):
         dxl_m = dx + dt * (rd(ustar, 0) - rd(ustar, -1))
         dxl = dx + dt * (rd(ustar, 1) - rd(ustar, 0))
         dxl_p = dx + dt * (rd(ustar, 2) - rd(ustar, 1))
-        r_m = (2 * dxl) / (dxl + dxl_m)
-        r_p = (2 * dxl) / (dxl + dxl_p)
+        r_m = div(2 * dxl, dxl + dxl_m)
+        r_p = div(2 * dxl, dxl + dxl_p)
 
         def slope(m, i, pp):
             du_p = r_p * (pp - i)
@@ -187,7 +218,7 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E):
         sl_vr = slope(rr_m * vv_m, rr_i * vv_i, rr_p * vv_p)
         sl_Er = slope(rr_m * EE_m, rr_i * EE_i, rr_p * EE_p)
 
-        lf = dxe / (2 * dxl)
+        lf = div(dxe, 2 * dxl)
         adv_rho = disp * (rr_i - sl_rho * lf)
         adv_ur = disp * (rr_i * uu_i - sl_ur * lf)
         adv_vr = disp * (rr_i * vv_i - sl_vr * lf)
@@ -201,9 +232,9 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E):
     tmp_Er = (dX * rho1 * E1 - (sh(adv_Er, 1) - adv_Er)) / dx
 
     rho2 = tmp_rho
-    uax2 = tmp_ur / tmp_rho
-    uot2 = tmp_vr / tmp_rho
-    E2 = tmp_Er / tmp_rho
+    uax2 = div(tmp_ur, tmp_rho)
+    uot2 = div(tmp_vr, tmp_rho)
+    E2 = div(tmp_Er, tmp_rho)
     return rho2, uax2, uot2, E2, p, c
 
 
@@ -226,7 +257,7 @@ def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0):
     return jnp.min(jnp.where(real, cell, big))
 
 
-def _x_sweep_kernel(cfg, tile_r, dt_ref, rho_ref, u_ref, v_ref, E_ref,
+def _x_sweep_kernel(cfg, tile_r, interp, dt_ref, rho_ref, u_ref, v_ref, E_ref,
                     rho_o, u_o, v_o, E_o, p_o, dtmin_o):
     T = np.dtype(cfg.dtype).type
     dt = dt_ref[0, 0]
@@ -239,7 +270,8 @@ def _x_sweep_kernel(cfg, tile_r, dt_ref, rho_ref, u_ref, v_ref, E_ref,
 
     rho, u, v, E = rho_ref[:], u_ref[:], v_ref[:], E_ref[:]
     rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dx),
-                                               rho, u, v, E)
+                                               rho, u, v, E,
+                                               _make_div(cfg, interp))
     rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = rho2, u2, v2, E2, p_st
 
     # Min-accumulate into a revisited (8, 128) VMEM block: the TPU grid runs
@@ -252,7 +284,7 @@ def _x_sweep_kernel(cfg, tile_r, dt_ref, rho_ref, u_ref, v_ref, E_ref,
     dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
 
 
-def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, dt_ref,
+def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref,
                     rho_c, rho_a, rho_b, u_c, u_a, u_b,
                     v_c, v_a, v_b, E_c, E_a, E_b,
                     rho_o, u_o, v_o, E_o, p_o, dtmin_o):
@@ -278,7 +310,8 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, dt_ref,
 
     # Y sweep: the axis velocity is v
     rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dy),
-                                               rho, v, u, E)
+                                               rho, v, u, E,
+                                               _make_div(cfg, interp))
 
     sl = slice(H, H + chunk)
     rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
@@ -322,7 +355,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
         grid = (pl.cdiv(rows, tile_r),)
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
-        kernel = functools.partial(_x_sweep_kernel, cfg, tile_r)
+        kernel = functools.partial(_x_sweep_kernel, cfg, tile_r, interpret)
         dtmin_spec = pl.BlockSpec((8, 128), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
@@ -359,7 +392,8 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
         below = pl.BlockSpec((halo_blk, tile_c), below_map,
                              memory_space=pltpu.VMEM)
 
-        kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c, halo_blk)
+        kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
+                                   halo_blk, interpret)
         in_specs = [pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                  memory_space=pltpu.SMEM)]
         for _ in range(4):
@@ -386,7 +420,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
 
 # ------------------------------------------------- fully-fused cycle kernel
 
-def _cycle_kernel(cfg, chunk, x_first, dtx_ref, dty_ref,
+def _cycle_kernel(cfg, chunk, x_first, interp, dtx_ref, dty_ref,
                   rho_c, rho_a, rho_b, u_c, u_a, u_b,
                   v_c, v_a, v_b, E_c, E_a, E_b,
                   rho_o, u_o, v_o, E_o, p_o, dtmin_o):
@@ -422,16 +456,17 @@ def _cycle_kernel(cfg, chunk, x_first, dtx_ref, dty_ref,
     def shy(a, k):
         return pltpu.roll(a, (-k) % a.shape[0], 0) if k else a
 
+    div = _make_div(cfg, interp)
     if x_first:
         rho1, u1, v1, E1, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
-                                             rho, u, v, E)
+                                             rho, u, v, E, div)
         rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, shy, dty, T(cfg.dy),
-                                                   rho1, v1, u1, E1)
+                                                   rho1, v1, u1, E1, div)
     else:
         rho1, v1, u1, E1, _, _ = _sweep_math(cfg, shy, dty, T(cfg.dy),
-                                             rho, v, u, E)
+                                             rho, v, u, E, div)
         rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, shx, dtx, T(cfg.dx),
-                                                   rho1, u1, v1, E1)
+                                                   rho1, u1, v1, E1, div)
 
     sl = slice(H, H + chunk)
     rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
@@ -480,7 +515,7 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, interpret=False):
         in_specs += [cur, above, below]
         args += [a, a, a]
 
-    kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first)
+    kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first, interpret)
     out = pl.pallas_call(
         kernel,
         grid=grid,

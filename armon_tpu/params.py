@@ -181,6 +181,12 @@ class ArmonParameters:
         self.kernel_tier = str(o.pop("kernel_tier", "jnp"))
         if self.kernel_tier not in ("jnp", "pallas", "auto"):
             solver_error("config", f"Unknown kernel_tier: '{self.kernel_tier}'")
+        # use_fast_math: the reference's build preference
+        # (src/generic_kernel.jl:3, default true there — and here). Affects
+        # only compiled f32 Pallas kernels (NR-refined reciprocal divides,
+        # ~1 ulp; still zero-diff at the f32 golden gates). Set False for
+        # strict IEEE divides.
+        self.use_fast_math = bool(o.pop("use_fast_math", True))
 
     def _init_profiling(self, o):
         """src/parameters.jl:532-575. Known profilers: 'trace'
@@ -261,6 +267,7 @@ class ArmonParameters:
                 proc_dims=self.P,
                 kernel_tier=self.kernel_tier,
                 block_size=tuple(self.block_size) if self.block_size else None,
+                fast_math=self.use_fast_math,
             )
         return self._config
 

@@ -1,0 +1,107 @@
+"""Run the BASELINE.json measurement configs and write BENCH_NOTES.md.
+
+Configs (BASELINE.md):
+ 1. Sod 100x100 (the CPU-reference scale — dominated by launch overhead)
+ 2. Sod_circ + Sod_y 1000^2, GAD minmod
+ 3. Sedov 2000^2, 2nd-order remap + CFL dt
+ 4. Bizarrium 4000^2 (stiff EOS path)
+ 5. 16384^2 Sod weak-scaled on a v5p-16 mesh — requires multi-chip HW; on a
+    single chip we run the largest size that fits instead.
+
+Usage: python scripts/bench_configs.py [--dtype f32|f64] [--tier pallas|jnp]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_config(name, test, n, cycles, dtype, tier, fast=False):
+    import jax
+    from armon_tpu import ArmonParameters
+    from armon_tpu.core.solver import make_init, make_jit_loop
+
+    p = ArmonParameters(
+        test=test, N=(n, n), data_type=dtype, scheme="GAD",
+        projection="euler_2nd", riemann_limiter="minmod", nghost=4,
+        maxcycle=cycles, maxtime=1e30, silent=5, measure_time=False,
+        kernel_tier=tier, use_fast_math=fast)
+    state = make_init(p)()
+    loop = make_jit_loop(p)
+    out = loop(state)
+    _ = float(np.asarray(out[1]))  # sync (block_until_ready may not)
+
+    best = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        out = loop(state)
+        _ = float(np.asarray(out[1]))
+        best = min(best, time.perf_counter() - t0)
+    ran = int(out[2])
+    cells_s = n * n * ran / best
+    return {"config": name, "test": test, "N": n, "cycles": ran,
+            "dtype": np.dtype(dtype).name, "tier": tier,
+            "fast_math": fast,
+            "seconds": round(best, 4),
+            "cells_per_sec": round(cells_s, 1),
+            "grind_ns_per_cell_cycle": round(best / ran / (n * n) * 1e9, 4)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    ap.add_argument("--tier", default="pallas", choices=["pallas", "jnp"])
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--out", default="BENCH_NOTES.md")
+    args = ap.parse_args()
+    dtype = np.float32 if args.dtype == "f32" else np.float64
+
+    import jax
+    backend = jax.default_backend()
+    dev = str(jax.devices()[0])
+
+    configs = [
+        ("1. Sod 100x100 (reference scale)", "Sod", 100, 200),
+        ("2a. Sod_circ 1000^2", "Sod_circ", 1000, 100),
+        ("2b. Sod_y 1000^2", "Sod_y", 1000, 100),
+        ("3. Sedov 2000^2", "Sedov", 2000, 50),
+        ("4. Bizarrium 4000^2", "Bizarrium", 4000, 25),
+        ("5. Sod 8192^2 (largest single-chip)", "Sod", 8192, 25),
+    ]
+
+    results = []
+    for name, test, n, cycles in configs:
+        try:
+            r = run_config(name, test, n, cycles, dtype, args.tier, args.fast)
+        except Exception as e:
+            r = {"config": name, "error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    with open(args.out, "w") as f:
+        f.write(f"# Benchmark notes\n\nDevice: {dev} (backend {backend}), "
+                f"dtype {args.dtype}, tier {args.tier}, "
+                f"fast_math={args.fast}\n\n")
+        f.write("| config | cells/s | grind ns/cell/cycle | seconds | cycles |\n")
+        f.write("|---|---|---|---|---|\n")
+        for r in results:
+            if "error" in r:
+                f.write(f"| {r['config']} | ERROR: {r['error']} | | | |\n")
+            else:
+                f.write(f"| {r['config']} | {r['cells_per_sec']:.3g} | "
+                        f"{r['grind_ns_per_cell_cycle']} | {r['seconds']} | "
+                        f"{r['cycles']} |\n")
+        f.write("\nTarget (BASELINE.md): >= 5e9 cell-updates/s/chip on TPU "
+                "v5p. Single-chip numbers above are from the dev chip; see "
+                "docs/architecture.md for its measured bandwidth ceilings.\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
