@@ -241,7 +241,9 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None):
         if params.animation_step != 0 and (cycles - 1) % params.animation_step == 0:
             from ..io.output import write_state_file
             frame = (cycles - 1) // params.animation_step
-            path = os.path.join("anim", f"{params.output_file}_{frame:03d}")
+            anim_dir = os.path.join(params.output_dir, "anim")
+            os.makedirs(anim_dir, exist_ok=True)
+            path = os.path.join(anim_dir, f"{params.output_file}_{frame:03d}")
             write_state_file(cfg, gather_state(params, state), path,
                              precision=params.output_precision)
 

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_config(name, test, n, cycles, dtype, tier, fast=False):
+def run_config(name, test, n, cycles, dtype, tier, fast=True):
     import jax
     from armon_tpu import ArmonParameters
     from armon_tpu.core.solver import make_init, make_jit_loop
@@ -57,9 +57,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--tier", default="pallas", choices=["pallas", "jnp"])
-    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--strict", action="store_true",
+                    help="strict IEEE divides (use_fast_math=False)")
     ap.add_argument("--out", default="BENCH_NOTES.md")
     args = ap.parse_args()
+    args.fast = not args.strict
     dtype = np.float32 if args.dtype == "f32" else np.float64
 
     import jax

@@ -29,6 +29,18 @@ def run(params):
 def test_tier_equivalence(scheme, limiter, projection):
     kw = dict(N=(64, 64), maxcycle=8, scheme=scheme, riemann_limiter=limiter,
               projection=projection)
+    _check_tier_equivalence(kw)
+
+
+@pytest.mark.parametrize("splitting", ["Godunov", "Strang", "X_only"])
+def test_tier_equivalence_splitting(splitting):
+    """The fused-pair + single-sweep decomposition (Strang) and the
+    parity-alternating orders must match the jnp tier too."""
+    kw = dict(N=(64, 64), maxcycle=9, axis_splitting=splitting)
+    _check_tier_equivalence(kw)
+
+
+def _check_tier_equivalence(kw):
     h1, c1, d1, t1 = run(reference_params("Sod_circ", np.float64, **kw))
     h2, c2, d2, t2 = run(reference_params("Sod_circ", np.float64,
                                           kernel_tier="pallas", **kw))
