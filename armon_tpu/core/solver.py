@@ -253,13 +253,6 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None):
 def _make_step_fns(params):
     """Individually-jitted solver sub-steps for the checkpoint/compare driver."""
     cfg = params.config
-
-    def mk(f):
-        if not cfg.spmd:
-            return jax.jit(f)
-        _, ss, rep = _mesh_and_specs(params)
-        return None  # compare mode is single-device only for now
-
     fns = {}
     for axis in (Axis.X, Axis.Y):
         fns[("eos", axis)] = jax.jit(lambda s, a=axis: update_eos(cfg, s))

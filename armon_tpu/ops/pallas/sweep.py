@@ -36,7 +36,6 @@ precisely (c from kernel input state, u/v from kernel output).
 """
 
 import functools
-import math
 
 import numpy as np
 
@@ -327,10 +326,6 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref,
 
 
 # ------------------------------------------------------------------ wrappers
-
-def _round_up(x, m):
-    return -(-x // m) * m
-
 
 @functools.partial(jax.jit, static_argnames=("cfg", "axis", "interpret"))
 def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):

@@ -17,7 +17,7 @@ TPU-native additions:
   process grid.
 """
 
-import math
+
 from typing import Optional
 
 import numpy as np
@@ -277,8 +277,6 @@ class ArmonParameters:
         mem = _mem(self.n_local, self.nghost, self.data_type.itemsize,
                    n_fields=len(State._fields))
         mem["total_bytes"] = mem["per_device_total_bytes"] * self.P[0] * self.P[1]
-        # reference key parity
-        mem["per_device_state_bytes"] = mem["per_device_state_bytes"]
         return mem
 
     def __repr__(self):
