@@ -120,14 +120,18 @@ def make_conservation(params):
     return _shard(params, cons, in_specs=(state_spec,), out_specs=(rep, rep))
 
 
-def make_jit_loop(params):
+def make_jit_loop(params, restore=False):
     cfg = params.config
-    loop = make_time_loop(cfg)
+    loop = make_time_loop(cfg, restore=restore)
     if not cfg.spmd:
         return jax.jit(loop)
     _, state_spec, rep = _mesh_and_specs(params)
+    if restore:
+        return _shard(params, loop,
+                      in_specs=(state_spec, rep, rep, rep, rep),
+                      out_specs=(state_spec, rep, rep, rep, rep, rep))
     return _shard(params, loop, in_specs=(state_spec,),
-                  out_specs=(state_spec, rep, rep, rep, rep))
+                  out_specs=(state_spec, rep, rep, rep, rep, rep))
 
 
 def make_cycle(params):
@@ -158,7 +162,8 @@ def make_cycle(params):
 
 # ------------------------------------------------------------------ drivers
 
-def _python_cycle_driver(params, state, checkpoint=None, solver_log=None):
+def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
+                         restored=None):
     """Per-cycle (and optionally per-step) host loop. Returns
     (state, t, cycles, last_dt)."""
     cfg = params.config
@@ -181,17 +186,21 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None):
     cycles = 0
     dt_prev = T(0.0)
     local_min = None  # fused-tier carry
+    if restored is not None:
+        t, cycles, dt_prev, local_min = restored
+        cycles = int(cycles)
 
-    if checkpoint is not None and checkpoint("init_test", state, Axis.X, 0.0, 0):
-        return state, float(t), cycles, float(dt_prev)
-
-    if cfg.maxcycle > 0:
-        state = eos_fn(state)
-        if checkpoint is not None and checkpoint("EOS_init", state, Axis.X, 0.0, 0):
+    if restored is None:
+        if checkpoint is not None and checkpoint("init_test", state, Axis.X, 0.0, 0):
             return state, float(t), cycles, float(dt_prev)
 
+        if cfg.maxcycle > 0:
+            state = eos_fn(state)
+            if checkpoint is not None and checkpoint("EOS_init", state, Axis.X, 0.0, 0):
+                return state, float(t), cycles, float(dt_prev)
+
     fused = cfg.kernel_tier == "pallas" and checkpoint is None
-    if fused:
+    if fused and local_min is None:
         from ..ops.reductions import dt_cfl_min
         from jax import lax
 
@@ -230,6 +239,14 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None):
             jax.block_until_ready(state)
             solver_log.push(cycles, float(t), float(dt_use),
                             time.perf_counter() - cycle_start)
+
+        if params.checkpoint_step and cycles % params.checkpoint_step == 0:
+            from ..io.restart import save_checkpoint
+            os.makedirs(params.output_dir, exist_ok=True)
+            save_checkpoint(
+                os.path.join(params.output_dir, params.output_file + ".ckpt"),
+                params, state, float(t), cycles, float(dt_prev),
+                local_min=None if local_min is None else float(local_min))
 
         if params.silent <= 1:
             m, e = conservation(state)
@@ -333,8 +350,13 @@ def gather_state(params, state: State) -> State:
 
 # -------------------------------------------------------------------- armon
 
-def armon(params: ArmonParameters, checkpoint=None) -> SolverStats:
-    """Main entry point (`src/solver.jl:406-516`)."""
+def armon(params: ArmonParameters, checkpoint=None,
+          restore_from=None) -> SolverStats:
+    """Main entry point (`src/solver.jl:406-516`).
+
+    `restore_from`: path of a snapshot written by
+    `armon_tpu.io.restart.save_checkpoint` (or the `checkpoint_step` option);
+    the run resumes bit-exactly from the saved carry."""
     cfg = params.config
     _ensure_x64(cfg)
 
@@ -348,9 +370,17 @@ def armon(params: ArmonParameters, checkpoint=None) -> SolverStats:
         if params.log_blocks else None
 
     t_start = time.perf_counter()
+    restored = None
     with section("init", timer, time_async=params.time_async):
-        init_fn = make_init(params)
-        state = jax.block_until_ready(init_fn())
+        if restore_from is not None:
+            from ..io.restart import load_checkpoint
+            state, r_t, r_cycles, r_dt, r_lm = load_checkpoint(
+                restore_from, params)
+            restored = (cfg.dtype.type(r_t), np.int32(r_cycles),
+                        cfg.dtype.type(r_dt), r_lm)
+        else:
+            init_fn = make_init(params)
+            state = jax.block_until_ready(init_fn())
 
     if params.check_result or params.silent <= 1:
         with section("conservation_vars", timer):
@@ -360,7 +390,7 @@ def armon(params: ArmonParameters, checkpoint=None) -> SolverStats:
     solve_start = time.perf_counter()
     use_python_loop = (params.silent <= 1 or params.animation_step != 0
                        or params.compare or checkpoint is not None
-                       or solver_log is not None)
+                       or solver_log is not None or params.checkpoint_step != 0)
     if params.compare and cfg.spmd:
         solver_error("config", "compare/is_ref checkpoint mode runs "
                                "single-device; compare the gathered output "
@@ -373,10 +403,18 @@ def armon(params: ArmonParameters, checkpoint=None) -> SolverStats:
     with profile_ctx, section("solver_cycle", timer):
         if use_python_loop:
             state, final_t, cycles, last_dt = _python_cycle_driver(
-                params, state, checkpoint=checkpoint, solver_log=solver_log)
+                params, state, checkpoint=checkpoint, solver_log=solver_log,
+                restored=restored)
         else:
-            loop = make_jit_loop(params)
-            state, t, cycles, last_dt, ok = loop(state)
+            loop = make_jit_loop(params, restore=restored is not None)
+            if restored is not None:
+                r_t, r_c, r_dt, r_lm = restored
+                lm0 = cfg.dtype.type(np.nan if r_lm is None else r_lm)
+                state, t, cycles, last_dt, final_lm, ok = loop(
+                    state, r_t, r_c, r_dt, lm0)
+            else:
+                state, t, cycles, last_dt, final_lm, ok = loop(state)
+            params._final_local_min = float(np.asarray(final_lm))
             # On some PJRT backends block_until_ready does not synchronize;
             # a host read does.
             final_t, cycles, last_dt = float(t), int(cycles), float(last_dt)

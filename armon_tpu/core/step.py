@@ -165,12 +165,15 @@ def solver_cycle_fused(cfg, state, dt_prev, cycle, local_min):
     return state, dt_use, dt_next, new_min, ok
 
 
-def make_time_loop(cfg):
+def make_time_loop(cfg, restore=False):
     """Build the fully-jitted time loop (`src/solver.jl:323-403` hot path):
-    state -> (state, t, cycles, last_dt, ok).
+    (state, t0, cycle0, dt0, lm0) -> (state, t, cycles, last_dt, ok).
 
     The returned function contains the whole run as a single XLA program:
-    while (t < maxtime && cycle < maxcycle) { cycle(); }.
+    while (t < maxtime && cycle < maxcycle) { cycle(); }. With
+    `restore=True` the cycle-0 EOS init and CFL seeding are skipped — the
+    carry scalars come from a checkpoint and `state.c` already holds the
+    stale sound speed of the interrupted run.
     """
     T = np.dtype(cfg.dtype).type
     maxtime = T(cfg.maxtime)
@@ -178,7 +181,10 @@ def make_time_loop(cfg):
 
     fused = cfg.kernel_tier == "pallas"
 
-    def loop(state):
+    def loop(state, t0=None, cycle0=None, dt0=None, lm0=None):
+        t0 = T(0.0) if t0 is None else t0
+        cycle0 = np.int32(0) if cycle0 is None else cycle0
+        dt0 = T(0.0) if dt0 is None else dt0
         if fused:
             def cond(carry):
                 _, t, cycle, _, _, ok = carry
@@ -200,31 +206,41 @@ def make_time_loop(cfg):
                 # next_cycle!: cycle += 1; time += current_dt (src/solver_state.jl:145-147)
                 return (state, t + dt_use, cycle + 1, dt_next, ok)
 
-        if cfg.maxcycle > 0:
+        if cfg.maxcycle > 0 and not restore:
             # Cycle-0 "EOS_init" (src/solver.jl:291-295), hoisted out of the loop.
             state = update_eos(cfg, state)
 
         if fused:
             from ..ops.reductions import dt_cfl_min
-            # Seed the carried CFL min from the initial (post-EOS) state —
-            # equivalent to the jnp tier's cycle-0 reduction.
+            # Seed the carried CFL min from the current state's (stale) sound
+            # speed — equivalent to the jnp tier's cycle-start reduction.
             if cfg.cst_dt:
                 local0 = jnp.asarray(T(np.finfo(cfg.dtype).max))
             else:
-                local0 = dt_cfl_min(cfg, state)
+                seed = dt_cfl_min(cfg, state)
                 if cfg.spmd:
-                    local0 = lax.pmin(local0, axis_name=cfg.axis_names)
+                    seed = lax.pmin(seed, axis_name=cfg.axis_names)
+                if lm0 is None:
+                    local0 = seed
+                else:
+                    # nan = "no saved carry" (checkpoint from the jnp tier)
+                    local0 = jnp.where(jnp.isnan(lm0), seed, lm0)
             # Only the 5 live fields ride the loop carry — x, y, c, g,
             # ustar, pstar are untouched by the fused cycle, and dropping
             # them halves HBM pressure at capacity-limit grid sizes.
             fs = FusedCarry(state.rho, state.u, state.v, state.E, state.p)
-            carry = (fs, T(0.0), np.int32(0), T(0.0), local0,
-                     jnp.asarray(True))
-            fs, t, cycles, dt_last, _, ok = lax.while_loop(cond, body, carry)
+            carry = (fs, t0, cycle0, dt0, local0, jnp.asarray(True))
+            fs, t, cycles, dt_last, lm, ok = lax.while_loop(cond, body, carry)
             state = state._replace(rho=fs.rho, u=fs.u, v=fs.v, E=fs.E, p=fs.p)
         else:
-            carry = (state, T(0.0), np.int32(0), T(0.0), jnp.asarray(True))
+            carry = (state, t0, cycle0, dt0, jnp.asarray(True))
             state, t, cycles, dt_last, ok = lax.while_loop(cond, body, carry)
-        return state, t, cycles, dt_last, ok
+            # The equivalent of the fused tier's carried CFL min: the jnp
+            # tier recomputes it from the (stale) sound speed at cycle start,
+            # which is exactly what the final state holds.
+            from ..ops.reductions import dt_cfl_min
+            lm = dt_cfl_min(cfg, state) if not cfg.cst_dt \
+                else jnp.asarray(T(np.finfo(cfg.dtype).max))
+        return state, t, cycles, dt_last, lm, ok
 
     return loop

@@ -232,6 +232,9 @@ class ArmonParameters:
         self.output_precision = int(p) if p is not None else \
             (17 if self.data_type.itemsize == 8 else 9)
         self.animation_step = int(o.pop("animation_step", 0))
+        # TPU-native: write a restartable snapshot every N cycles
+        # (armon_tpu.io.restart; resume with armon(..., restore_from=path)).
+        self.checkpoint_step = int(o.pop("checkpoint_step", 0))
         self.compare = bool(o.pop("compare", False))
         self.is_ref = bool(o.pop("is_ref", False))
         self.comparison_tolerance = float(o.pop("comparison_tolerance", 1e-10))

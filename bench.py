@@ -43,7 +43,7 @@ def bench(n=8192, dtype=np.float32, cycles=50, tier=None):
     best = float("inf")
     for _rep in range(3):
         t0 = time.perf_counter()
-        state2, t, ran_cycles, dt, ok = loop(state)
+        state2, t, ran_cycles, dt, lm, ok = loop(state)
         _ = float(np.asarray(t))  # forces completion
         elapsed = time.perf_counter() - t0
         best = min(best, elapsed)

@@ -17,7 +17,7 @@ def test_conservation(test):
     m0, e0 = map(float, cons(state))
 
     loop = make_jit_loop(params)
-    state, t, cycles, dt, ok = loop(state)
+    state, t, cycles, dt, lm, ok = loop(state)
     assert bool(ok) and int(cycles) == 10000
 
     m1, e1 = map(float, cons(state))

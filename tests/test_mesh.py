@@ -28,7 +28,7 @@ MESHES = [(1, 2), (2, 1), (2, 2), (4, 2), (2, 4), (1, 4), (4, 1)]
 def run(params):
     state = make_init(params)()
     loop = make_jit_loop(params)
-    state, t, cycles, dt, ok = loop(state)
+    state, t, cycles, dt, lm, ok = loop(state)
     assert bool(ok)
     return gather_state(params, state), int(cycles), float(dt)
 

@@ -91,7 +91,7 @@ def test_pallas_sharded_matches_single(P):
         from armon_tpu.core.solver import make_jit_loop
         state = make_init(params)()
         loop = make_jit_loop(params)
-        state, t, cycles, dt, ok = loop(state)
+        state, t, cycles, dt, lm, ok = loop(state)
         assert bool(ok)
         return gather_state(params, state), int(cycles), float(dt)
 

@@ -14,7 +14,7 @@ from armon_tpu.core.solver import make_init, make_jit_loop, gather_state
 def run(params):
     state = make_init(params)()
     loop = make_jit_loop(params)
-    state, t, cycles, dt, ok = loop(state)
+    state, t, cycles, dt, lm, ok = loop(state)
     assert bool(ok)
     return gather_state(params, state), int(cycles), float(dt), float(t)
 
@@ -74,7 +74,7 @@ def test_strang_conserves():
     state = make_init(params)()
     m0, e0 = map(float, cons(state))
     loop = make_jit_loop(params)
-    state, t, cycles, dt, ok = loop(state)
+    state, t, cycles, dt, lm, ok = loop(state)
     m1, e1 = map(float, cons(state))
     assert abs(m0 - m1) <= 1e-12 and abs(e0 - e1) <= 1e-12
 
