@@ -361,7 +361,7 @@ def armon(params: ArmonParameters, checkpoint=None,
     _ensure_x64(cfg)
 
     if params.silent < 3:
-        print(params)
+        print(params.describe())
 
     from ..utils.profiling import Timer, section, trace
     from ..utils.solver_log import SolverLog

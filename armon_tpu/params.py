@@ -289,6 +289,36 @@ class ArmonParameters:
                 f"splitting={self.axis_splitting}, P={self.P}, "
                 f"tier={self.kernel_tier})")
 
+    def describe(self) -> str:
+        """Multi-line parameter block (`print_parameters`,
+        `src/parameters.jl:826-900`)."""
+        mem = self.memory_required()
+        dt_line = (f"constant at {self.Dt}" if self.cst_dt else
+                   "initialized automatically, updated " +
+                   ("only at even cycles" if self.dt_on_even_cycles
+                    else "every cycle"))
+        lines = [
+            "Armon-TPU parameters:",
+            f" - test:       {self.test!r}",
+            f" - grid:       {self.N[0]}x{self.N[1]} cells "
+            f"(+{self.nghost} ghosts), domain {self.domain_size} "
+            f"from {self.origin}",
+            f" - data type:  {self.data_type.name}",
+            f" - scheme:     {self.scheme}"
+            + (f" + {self.riemann_limiter} limiter"
+               if self.scheme == "GAD" else ""),
+            f" - projection: {self.projection}",
+            f" - splitting:  {self.axis_splitting}",
+            f" - time step:  {dt_line}; CFL={self.cfl}",
+            f" - stops at:   t={self.maxtime} or {self.maxcycle} cycles",
+            f" - kernels:    {self.kernel_tier} tier"
+            + (", fast-math divides" if self.use_fast_math else
+               ", strict IEEE"),
+            f" - mesh:       {self.P[0]}x{self.P[1]} devices, "
+            f"{mem['per_device_total_bytes'] / 1e6:.1f} MB/device",
+        ]
+        return "\n".join(lines)
+
 
 def data_type(params: ArmonParameters):
     """Reference API parity (`src/Armon.jl:15`)."""

@@ -24,7 +24,7 @@ def bench(n=8192, dtype=np.float32, cycles=50, tier=None):
     from armon_tpu import ArmonParameters
     from armon_tpu.core.solver import make_init, make_jit_loop
 
-    tier = tier or os.environ.get("ARMON_BENCH_TIER", "jnp")
+    tier = tier or os.environ.get("ARMON_BENCH_TIER", "pallas")
     params = ArmonParameters(
         test="Sod", N=(n, n), data_type=dtype, scheme="GAD",
         projection="euler_2nd", riemann_limiter="minmod", nghost=4,
