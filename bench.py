@@ -21,6 +21,8 @@ BASELINE = 5e9  # cell-updates/s/chip target (BASELINE.md)
 
 def bench(n=8192, dtype=np.float32, cycles=50, tier=None):
     import jax
+    if np.dtype(dtype).itemsize == 8:
+        jax.config.update("jax_enable_x64", True)
     from armon_tpu import ArmonParameters
     from armon_tpu.core.solver import make_init, make_jit_loop
 
