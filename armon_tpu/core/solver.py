@@ -136,7 +136,8 @@ def make_jit_loop(params, restore=False):
 
 def make_cycle(params):
     cfg = params.config
-    if cfg.kernel_tier == "pallas":
+    from .step import use_fused_tier
+    if use_fused_tier(cfg):
         from .step import solver_cycle_fused
 
         def cycle(state, dt_prev, cycle_idx, local_min):
@@ -199,7 +200,8 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
             if checkpoint is not None and checkpoint("EOS_init", state, Axis.X, 0.0, 0):
                 return state, float(t), cycles, float(dt_prev)
 
-    fused = cfg.kernel_tier == "pallas" and checkpoint is None
+    from .step import use_fused_tier
+    fused = use_fused_tier(cfg) and checkpoint is None
     if fused and local_min is None:
         from ..ops.reductions import dt_cfl_min
         from jax import lax

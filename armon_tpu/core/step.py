@@ -91,6 +91,15 @@ def _pallas_interpret(cfg) -> bool:
     return jax.default_backend() != "tpu"
 
 
+def use_fused_tier(cfg) -> bool:
+    """Whether the fused Pallas path applies: Mosaic on this TPU generation
+    rejects f64 kernels, so f64-on-TPU falls back to the jnp tier (interpret
+    mode on CPU supports f64 and keeps the fused path testable)."""
+    if cfg.kernel_tier != "pallas":
+        return False
+    return _pallas_interpret(cfg) or np.dtype(cfg.dtype).itemsize == 4
+
+
 def fused_sweep_step(cfg, state, axis: Axis, dt):
     """One sweep through the fused Pallas kernel. Only (rho,u,v,E) ghosts are
     exchanged — p/c ghosts are recomputed in-kernel by the EOS (which
@@ -179,7 +188,7 @@ def make_time_loop(cfg, restore=False):
     maxtime = T(cfg.maxtime)
     maxcycle = np.int32(cfg.maxcycle)
 
-    fused = cfg.kernel_tier == "pallas"
+    fused = use_fused_tier(cfg)
 
     def loop(state, t0=None, cycle0=None, dt0=None, lm0=None):
         t0 = T(0.0) if t0 is None else t0
