@@ -174,6 +174,46 @@ def solver_cycle_fused(cfg, state, dt_prev, cycle, local_min):
     return state, dt_use, dt_next, new_min, ok
 
 
+def use_pair_mode(cfg) -> bool:
+    """Temporal blocking (two cycles per kernel pass) applies when: fused
+    tier active, nghost == 8 (one evolved cycle + one stencil of ghost
+    depth), a 2-sweep splitting, and a single device (global-border re-fill
+    happens in-kernel; interior mesh halos would need remote DMA)."""
+    return (use_fused_tier(cfg) and getattr(cfg, "fuse_cycles", 1) == 2
+            and cfg.nghost == 8 and not cfg.spmd
+            and cfg.splitting in ("Sequential", "Godunov"))
+
+
+def solver_pair_fused(cfg, state, dt_prev, cycle, local_min):
+    """TWO cycles through the temporally-blocked kernel. The dt recurrence
+    needs only CFL minima already known a pair ahead:
+    dt(k+1) = f(local_min at start of k) is computed before launch, and the
+    kernel emits the mid-pair and final minima for the next pair.
+    `cycle` is always even here (pairs start the run; the single-cycle tail
+    finishes odd remainders). Returns (state, dt_used_sum, dt_next,
+    new_local_min, ok)."""
+    from ..ops.pallas.sweep import fused_pair
+    T = np.dtype(cfg.dtype).type
+    dt1, dt2, ok1 = dt_update(cfg, local_min, dt_prev, cycle, reduce=False)
+
+    state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
+    state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
+
+    even, odd = split_schedules(cfg.splitting)
+    # pairs start at even cycles: cycle k uses the even schedule, k+1 the odd
+    orders = (even[0][0] is Axis.X, odd[0][0] is Axis.X)
+    dts = (dt1 * T(1.0), dt1 * T(1.0), dt2 * T(1.0), dt2 * T(1.0))
+
+    rho, u, v, E, p_stale, lm_mid, lm_final = fused_pair(
+        cfg, orders, state.rho, state.u, state.v, state.E, dts,
+        interpret=_pallas_interpret(cfg))
+    state = state._replace(rho=rho, u=u, v=v, E=E, p=p_stale)
+
+    # dt for cycle k+2 from the mid-pair minimum
+    _, dt3, ok2 = dt_update(cfg, lm_mid, dt2, cycle + 1, reduce=False)
+    return state, dt1, dt2, dt3, lm_final, ok1 & ok2
+
+
 def make_time_loop(cfg, restore=False):
     """Build the fully-jitted time loop (`src/solver.jl:323-403` hot path):
     (state, t0, cycle0, dt0, lm0) -> (state, t, cycles, last_dt, ok).
@@ -239,6 +279,28 @@ def make_time_loop(cfg, restore=False):
             # them halves HBM pressure at capacity-limit grid sizes.
             fs = FusedCarry(state.rho, state.u, state.v, state.E, state.p)
             carry = (fs, t0, cycle0, dt0, local0, jnp.asarray(True))
+
+            if use_pair_mode(cfg):
+                # Temporal-blocking accelerator: run PAIRS of cycles while
+                # two full cycles are certainly allowed (both time steps are
+                # known in advance); the single-cycle loop below finishes
+                # any remainder with identical numerics.
+                def cond_pair(carry):
+                    _, t, cycle, dt_prev, lm, ok = carry
+                    dt1, _, okc = dt_update(cfg, lm, dt_prev, cycle,
+                                            reduce=False)
+                    return (ok & okc & (t < maxtime) & (cycle < maxcycle)
+                            & (t + dt1 < maxtime) & (cycle + 1 < maxcycle))
+
+                def body_pair(carry):
+                    fs, t, cycle, dt_prev, lm, _ = carry
+                    fs, dt1, dt2, dt_next, lm, ok = solver_pair_fused(
+                        cfg, fs, dt_prev, cycle, lm)
+                    # accumulate exactly like the sequential loop: (t+dt1)+dt2
+                    return (fs, (t + dt1) + dt2, cycle + 2, dt_next, lm, ok)
+
+                carry = lax.while_loop(cond_pair, body_pair, carry)
+
             fs, t, cycles, dt_last, lm, ok = lax.while_loop(cond, body, carry)
             state = state._replace(rho=fs.rho, u=fs.u, v=fs.v, E=fs.E, p=fs.p)
         else:

@@ -525,3 +525,201 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, interpret=False):
 
     rho2, u2, v2, E2, p_st, dt_tiles = out
     return rho2, u2, v2, E2, p_st, jnp.min(dt_tiles)
+
+
+# -------------------------------------------- temporally-blocked pair kernel
+
+def _mid_boundary_refill(cfg, ci, nci, chunk, rows_tot, fields):
+    """In-kernel ghost re-fill between the two fused cycles.
+
+    Interior (device/tile) halos evolve exactly under cycle 1 — the kernel
+    computes the same row-local math the neighbour does on the same data.
+    Only the GLOBAL borders need the reference's BC re-applied to the
+    mid-pair state (mirror/copy of the 4 real rows/cols nearest the wall):
+    the Dirichlet mirror is an exact symmetry of the scheme, but the
+    FreeFlow copy is not, so evolved ghost values must be replaced.
+    `fields` = (rho, u, v, E) mid-state buffers of shape (chunk+16, W).
+    Requires nghost == 8 (depth for one evolved cycle + one stencil).
+    """
+    from ...utils.enums import Side
+    T = np.dtype(cfg.dtype).type
+    g = cfg.nghost  # == 8
+    H2 = 8
+    W = fields[0].shape[1]
+
+    def flip4(a, axis, start):
+        # Mosaic has no `rev` lowering; a 4-wide mirror assembles directly.
+        parts = [jax.lax.slice_in_dim(a, start + k, start + k + 1, axis=axis)
+                 for k in (3, 2, 1, 0)]
+        return jnp.concatenate(parts, axis)
+
+    def facs(side):
+        u_f, v_f = cfg.test.boundary_factors(side)
+        return (T(1.0), T(u_f), T(v_f), T(1.0))
+
+    # --- X borders: static column slices, every tile (full width)
+    fl = facs(Side.LEFT)
+    fr = facs(Side.RIGHT)
+    fixed = []
+    for k, a in enumerate(fields):
+        left = flip4(a, 1, g) * fl[k]
+        right = flip4(a, 1, W - g - 4) * fr[k]
+        a = jnp.concatenate([a[:, :g - 4], left, a[:, g:W - g],
+                             right, a[:, W - g + 4:]], 1)
+        fixed.append(a)
+    fields = fixed
+
+    # --- Y borders: only the first / last chunk hold the global rows.
+    fb = facs(Side.BOTTOM)
+    ft = facs(Side.TOP)
+
+    def fix_bottom(fs):
+        out = []
+        for k, a in enumerate(fs):
+            # global ghost rows [g-4, g) = buffer rows [H2+g-4, H2+g)
+            band = flip4(a, 0, H2 + g) * fb[k]
+            out.append(jnp.concatenate(
+                [a[:H2 + g - 4], band, a[H2 + g:]], 0))
+        return tuple(out)
+
+    def fix_top(fs):
+        S = (nci - 1) * chunk
+        top0 = rows_tot - g - S + H2      # buffer row of global row rows_tot-g
+        out = []
+        for k, a in enumerate(fs):
+            band = flip4(a, 0, top0 - 4) * ft[k]
+            out.append(jnp.concatenate(
+                [a[:top0], band, a[top0 + 4:]], 0))
+        return tuple(out)
+
+    fields = jax.lax.cond(ci == 0, fix_bottom, lambda fs: tuple(fs), tuple(fields))
+    fields = jax.lax.cond(ci == nci - 1, fix_top, lambda fs: tuple(fs),
+                          tuple(fields))
+    return fields
+
+
+def _pair_kernel(cfg, chunk, nci, rows_tot, orders, interp,
+                 dt_ref,
+                 rho_c, rho_a, rho_b, u_c, u_a, u_b,
+                 v_c, v_a, v_b, E_c, E_a, E_b,
+                 rho_o, u_o, v_o, E_o, p_o, dtmin_mid_o, dtmin_o):
+    """TWO full cycles per tile in VMEM ("temporal blocking"): halves the
+    HBM traffic again relative to the fused single-cycle kernel. The four
+    per-sweep time steps arrive precomputed (the dt recurrence only needs
+    CFL minima that are already known one pair ahead)."""
+    T = np.dtype(cfg.dtype).type
+    dts = [dt_ref[0, k] for k in range(4)]  # dtx1, dty1, dtx2, dty2
+    ci = pl.program_id(0)
+    H2 = 8
+    div = _make_div(cfg, interp)
+
+    def halo_cat(cur, above, below):
+        return jnp.concatenate([above[:], cur, below[:]], 0)
+
+    rho = halo_cat(rho_c[:], rho_a[:], rho_b[:])
+    u = halo_cat(u_c[:], u_a[:], u_b[:])
+    v = halo_cat(v_c[:], v_a[:], v_b[:])
+    E = halo_cat(E_c[:], E_a[:], E_b[:])
+
+    def shx(a, k):
+        return pltpu.roll(a, (-k) % a.shape[1], 1) if k else a
+
+    def shy(a, k):
+        return pltpu.roll(a, (-k) % a.shape[0], 0) if k else a
+
+    def one_cycle(x_first, dtx, dty, rho, u, v, E):
+        if x_first:
+            rho, u, v, E, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
+                                             rho, u, v, E, div)
+            rho, v, u, E, p_st, c_st = _sweep_math(cfg, shy, dty, T(cfg.dy),
+                                                   rho, v, u, E, div)
+        else:
+            rho, v, u, E, _, _ = _sweep_math(cfg, shy, dty, T(cfg.dy),
+                                             rho, v, u, E, div)
+            rho, u, v, E, p_st, c_st = _sweep_math(cfg, shx, dtx, T(cfg.dx),
+                                                   rho, u, v, E, div)
+        return rho, u, v, E, p_st, c_st
+
+    # ---- cycle k
+    rho1, u1, v1, E1, _, c_mid = one_cycle(orders[0], dts[0], dts[1],
+                                           rho, u, v, E)
+
+    sl = slice(H2, H2 + chunk)
+
+    @pl.when(ci == 0)
+    def _():
+        dtmin_mid_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
+        dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
+
+    m_mid = _dt_tile_min(cfg, T, u1[sl], v1[sl], c_mid[sl], ci * chunk, 0)
+    dtmin_mid_o[:] = jnp.minimum(dtmin_mid_o[:], m_mid)
+
+    # ---- reference BC applied to the mid state at the global borders
+    rho1, u1, v1, E1 = _mid_boundary_refill(
+        cfg, ci, nci, chunk, rows_tot, (rho1, u1, v1, E1))
+
+    # ---- cycle k+1
+    rho2, u2, v2, E2, p_st, c_st = one_cycle(orders[1], dts[2], dts[3],
+                                             rho1, u1, v1, E1)
+
+    rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
+        rho2[sl], u2[sl], v2[sl], E2[sl], p_st[sl]
+
+    m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], ci * chunk, 0)
+    dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "orders", "interpret"))
+def fused_pair(cfg, orders, rho, u, v, E, dts, interpret=False):
+    """Run TWO cycles in one kernel pass. `orders` = (x_first_cycle1,
+    x_first_cycle2); `dts` = (dtx1, dty1, dtx2, dty2) already scaled.
+    BOTH ghost bands (nghost == 8 deep) must be pre-filled.
+    Returns (rho, u, v, E, p_stale, dtmin_mid, dtmin_final)."""
+    assert cfg.nghost == 8, "temporal blocking requires nghost == 8"
+    rows, cols = rho.shape
+    dt_arr = jnp.stack([jnp.asarray(d, cfg.dtype) for d in dts]).reshape(1, 4)
+
+    from ...parallel.blocking import VMEM_BUDGET, pair_chunk_rows
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
+    chunk = pair_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize)
+    halo_blk = 8
+    nci = pl.cdiv(rows, chunk)
+    grid = (nci,)
+
+    cur = pl.BlockSpec((chunk, cols), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    blocks_tot = max(rows // halo_blk, 1)
+
+    def above_map(i):
+        return (jnp.maximum(i * (chunk // halo_blk) - 1, 0), 0)
+
+    def below_map(i):
+        return (jnp.minimum((i + 1) * (chunk // halo_blk), blocks_tot - 1), 0)
+
+    above = pl.BlockSpec((halo_blk, cols), above_map, memory_space=pltpu.VMEM)
+    below = pl.BlockSpec((halo_blk, cols), below_map, memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [smem]
+    args = [dt_arr]
+    for a in (rho, u, v, E):
+        in_specs += [cur, above, below]
+        args += [a, a, a]
+
+    kernel = functools.partial(_pair_kernel, cfg, chunk, nci, rows,
+                               orders, interpret)
+    acc = pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[cur] * 5 + [acc, acc],
+        out_shape=[jax.ShapeDtypeStruct((rows, cols), cfg.dtype)] * 5 + [
+            jax.ShapeDtypeStruct((8, 128), cfg.dtype)] * 2,
+        compiler_params=cparams,
+        interpret=interpret,
+    )(*args)
+
+    rho2, u2, v2, E2, p_st, mid_tiles, dt_tiles = out
+    return rho2, u2, v2, E2, p_st, jnp.min(mid_tiles), jnp.min(dt_tiles)

@@ -99,3 +99,14 @@ def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
         "per_device_halo_bytes": halo,
         "per_device_total_bytes": state + halo,
     }
+
+
+def pair_chunk_rows(rows: int, cols: int, itemsize: int) -> int:
+    """Row-chunk height for the two-cycle (temporally blocked) kernel:
+    (chunk + 16)-row full-width buffers, ~30 live temporaries."""
+    if rows <= 144:
+        return _round_up(rows, 8)
+    budget = VMEM_BUDGET // 3
+    per_row = cols * 30 * itemsize
+    chunk = max(8, ((budget // per_row - 16) // 8) * 8)
+    return min(chunk, 256)
