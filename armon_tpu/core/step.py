@@ -92,9 +92,17 @@ def _pallas_interpret(cfg) -> bool:
 
 
 def use_fused_tier(cfg) -> bool:
-    """Whether the fused Pallas path applies: Mosaic on this TPU generation
-    rejects f64 kernels, so f64-on-TPU falls back to the jnp tier (interpret
-    mode on CPU supports f64 and keeps the fused path testable)."""
+    """Whether the fused Pallas path applies.
+
+    - 'pallas': always, except f64-on-TPU (Mosaic rejects 64-bit kernel
+      types) which falls back to the jnp tier; interpret mode on CPU
+      supports f64 and keeps the fused path testable.
+    - 'auto' (the default): compiled Mosaic when it is the fast path
+      (f32 on a real TPU); the jnp tier otherwise — interpreted Pallas on
+      CPU is only for testing, and emulated-f64 runs are jnp either way.
+    """
+    if cfg.kernel_tier == "auto":
+        return not _pallas_interpret(cfg) and np.dtype(cfg.dtype).itemsize == 4
     if cfg.kernel_tier != "pallas":
         return False
     return _pallas_interpret(cfg) or np.dtype(cfg.dtype).itemsize == 4

@@ -178,7 +178,9 @@ class ArmonParameters:
         self.numa_aware = bool(o.pop("numa_aware", False))
         self.lock_memory = bool(o.pop("lock_memory", False))
         self.busy_wait_limit = int(o.pop("busy_wait_limit", 100))
-        self.kernel_tier = str(o.pop("kernel_tier", "jnp"))
+        # default 'auto': fused Mosaic kernels when they are the fast path
+        # (f32 on a real TPU), the pure-XLA tier otherwise.
+        self.kernel_tier = str(o.pop("kernel_tier", "auto"))
         if self.kernel_tier not in ("jnp", "pallas", "auto"):
             solver_error("config", f"Unknown kernel_tier: '{self.kernel_tier}'")
         # fuse_cycles: temporal blocking — 2 = two cycles per fused kernel
@@ -188,7 +190,7 @@ class ArmonParameters:
         if self.fuse_cycles not in (1, 2):
             solver_error("config", f"fuse_cycles must be 1 or 2, got {self.fuse_cycles}")
         if self.fuse_cycles == 2:
-            if self.kernel_tier != "pallas":
+            if self.kernel_tier not in ("pallas", "auto"):
                 solver_error("config", "fuse_cycles=2 requires kernel_tier='pallas'")
             self.nghost = max(self.nghost, 8)
         # use_fast_math: the reference's build preference
