@@ -64,6 +64,23 @@ class SolverStats:
                 f"{self.cell_count} cells)")
 
 
+# Compiled-function cache: rebuilding the jit wrappers per armon() call
+# would retrace/recompile identical programs (SolverConfig has value
+# semantics, so equal configs share cache entries). Keyed off the config
+# plus the builder kind; skipped when an explicit device list is given.
+_FN_CACHE = {}
+
+
+def _cached(params, kind, build):
+    if params.devices is not None:
+        return build()
+    key = (params.config, kind)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = _FN_CACHE[key] = build()
+    return fn
+
+
 # ---------------------------------------------------------------- SPMD glue
 
 def _mesh_and_specs(params):
@@ -88,53 +105,70 @@ def make_init(params):
     The per-shard global origin is derived from the mesh coordinates, the
     analog of `N_origin` (`src/parameters.jl:727`)."""
     cfg = params.config
-    if not cfg.spmd:
-        return jax.jit(lambda: init_state(cfg))
 
-    def init_shard():
-        from jax import lax
-        ix = lax.axis_index(cfg.axis_names[0])
-        iy = lax.axis_index(cfg.axis_names[1])
-        gx = ix * cfg.n_local[0]
-        gy = iy * cfg.n_local[1]
-        return init_state(cfg, global_pos=(gx, gy))
+    def build():
+        if not cfg.spmd:
+            return jax.jit(lambda: init_state(cfg))
 
-    _, state_spec, _ = _mesh_and_specs(params)
-    return _shard(params, init_shard, in_specs=(), out_specs=state_spec)
+        def init_shard():
+            from jax import lax
+            ix = lax.axis_index(cfg.axis_names[0])
+            iy = lax.axis_index(cfg.axis_names[1])
+            gx = ix * cfg.n_local[0]
+            gy = iy * cfg.n_local[1]
+            return init_state(cfg, global_pos=(gx, gy))
+
+        _, state_spec, _ = _mesh_and_specs(params)
+        return _shard(params, init_shard, in_specs=(), out_specs=state_spec)
+
+    return _cached(params, "init", build)
 
 
 def make_conservation(params):
     cfg = params.config
-    if not cfg.spmd:
-        return jax.jit(lambda s: conservation_vars(cfg, s))
 
-    def cons(state):
-        from jax import lax
-        m, e = conservation_vars(cfg, state)
-        # MPI.Allreduce(SUM) analog (src/reductions.jl:318-320)
-        m = lax.psum(m, cfg.axis_names)
-        e = lax.psum(e, cfg.axis_names)
-        return m, e
+    def build():
+        if not cfg.spmd:
+            return jax.jit(lambda s: conservation_vars(cfg, s))
 
-    _, state_spec, rep = _mesh_and_specs(params)
-    return _shard(params, cons, in_specs=(state_spec,), out_specs=(rep, rep))
+        def cons(state):
+            from jax import lax
+            m, e = conservation_vars(cfg, state)
+            # MPI.Allreduce(SUM) analog (src/reductions.jl:318-320)
+            m = lax.psum(m, cfg.axis_names)
+            e = lax.psum(e, cfg.axis_names)
+            return m, e
+
+        _, state_spec, rep = _mesh_and_specs(params)
+        return _shard(params, cons, in_specs=(state_spec,),
+                      out_specs=(rep, rep))
+
+    return _cached(params, "conservation", build)
 
 
 def make_jit_loop(params, restore=False):
     cfg = params.config
-    loop = make_time_loop(cfg, restore=restore)
-    if not cfg.spmd:
-        return jax.jit(loop)
-    _, state_spec, rep = _mesh_and_specs(params)
-    if restore:
-        return _shard(params, loop,
-                      in_specs=(state_spec, rep, rep, rep, rep),
+
+    def build():
+        loop = make_time_loop(cfg, restore=restore)
+        if not cfg.spmd:
+            return jax.jit(loop)
+        _, state_spec, rep = _mesh_and_specs(params)
+        if restore:
+            return _shard(params, loop,
+                          in_specs=(state_spec, rep, rep, rep, rep),
+                          out_specs=(state_spec, rep, rep, rep, rep, rep))
+        return _shard(params, loop, in_specs=(state_spec,),
                       out_specs=(state_spec, rep, rep, rep, rep, rep))
-    return _shard(params, loop, in_specs=(state_spec,),
-                  out_specs=(state_spec, rep, rep, rep, rep, rep))
+
+    return _cached(params, ("loop", restore), build)
 
 
 def make_cycle(params):
+    return _cached(params, "cycle", lambda: _build_cycle(params))
+
+
+def _build_cycle(params):
     cfg = params.config
     from .step import use_fused_tier
     if use_fused_tier(cfg):

@@ -77,6 +77,17 @@ class TestCase:
     def __repr__(self):
         return self.name
 
+    # Value semantics so SolverConfig (and the jit caches keyed on it) can
+    # treat equal configurations as equal.
+    def _key(self):
+        return (type(self).__name__,)
+
+    def __eq__(self, other):
+        return type(other) is type(self) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
+
 
 class Sod(TestCase):
     """Sod shock tube (`src/tests.jl:59,84-95,164-171`)."""
@@ -156,6 +167,9 @@ class Sedov(TestCase):
 
     def __init__(self, r: float):
         self.r = float(r)
+
+    def _key(self):
+        return (type(self).__name__, self.r)
 
     @classmethod
     def from_cell_size(cls, dx, dy):
