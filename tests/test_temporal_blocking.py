@@ -71,7 +71,9 @@ def test_pair_matches_single_cycle_path(maxcycle, splitting):
 
 def test_pair_requires_pallas():
     with pytest.raises(SolverException, match="pallas"):
-        ArmonParameters(test="Sod", fuse_cycles=2)
+        ArmonParameters(test="Sod", fuse_cycles=2, kernel_tier="jnp")
+    # 'auto' and 'pallas' both allow it
+    assert ArmonParameters(test="Sod", fuse_cycles=2).nghost == 8
 
 
 def test_pair_spmd_falls_back():
