@@ -514,11 +514,8 @@ def make_file_checkpoint(params):
     cfg = params.config
 
     def checkpoint(label, state, axis, dt, cycle):
-        axis_char = "X" if (cycle == 0 and label == "time_step") else \
-            ("X" if axis is Axis.X else "Y")
-        if label in ("EOS", "boundary_conditions", "numerical_fluxes",
-                     "cell_update", "projection_remap", "EOS_init", "init_test"):
-            axis_char = "X" if axis is Axis.X else "Y"
+        # cycle-0 time_step files are tagged X (src/io.jl:193-198)
+        axis_char = "X" if axis is Axis.X else "Y"
         name = f"{params.output_file}_{cycle:03d}_{label}_{axis_char}"
         path = os.path.join(params.output_dir, name)
         if label == "time_step":

@@ -682,7 +682,8 @@ def fused_pair(cfg, orders, rho, u, v, E, dts, interpret=False):
 
     from ...parallel.blocking import VMEM_BUDGET, pair_chunk_rows
     cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
-    chunk = pair_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize)
+    chunk = pair_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize,
+                            getattr(cfg, "block_size", None))
     halo_blk = 8
     nci = pl.cdiv(rows, chunk)
     grid = (nci,)

@@ -101,12 +101,17 @@ def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
     }
 
 
-def pair_chunk_rows(rows: int, cols: int, itemsize: int) -> int:
+def pair_chunk_rows(rows: int, cols: int, itemsize: int,
+                    block_size=None) -> int:
     """Row-chunk height for the two-cycle (temporally blocked) kernel:
-    (chunk + 16)-row full-width buffers, ~30 live temporaries."""
+    (chunk + 16)-row full-width buffers. `block_size[1]` overrides (cache-
+    block option parity, clamped to alignment)."""
+    if block_size is not None:
+        return max(8, _round_up(min(block_size[1], rows), 8))
     if rows <= 144:
         return _round_up(rows, 8)
-    budget = VMEM_BUDGET // 3
-    per_row = cols * 30 * itemsize
-    chunk = max(8, ((budget // per_row - 16) // 8) * 8)
+    # Calibrated on the dev chip: Mosaic's peak is ~55 live full-width
+    # buffers for the two-cycle body (chunk=48 at 8208 lanes OOMs, 32 fits).
+    per_row = cols * 55 * itemsize
+    chunk = max(8, ((VMEM_BUDGET // per_row - 16) // 8) * 8)
     return min(chunk, 256)
