@@ -279,8 +279,10 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
         if params.checkpoint_step and cycles % params.checkpoint_step == 0:
             from ..io.restart import save_checkpoint
             os.makedirs(params.output_dir, exist_ok=True)
+            # np.savez appends .npz; name the file with the real suffix
             save_checkpoint(
-                os.path.join(params.output_dir, params.output_file + ".ckpt"),
+                os.path.join(params.output_dir,
+                             params.output_file + ".ckpt.npz"),
                 params, state, float(t), cycles, float(dt_prev),
                 local_min=None if local_min is None else float(local_min))
 
@@ -407,7 +409,9 @@ def armon(params: ArmonParameters, checkpoint=None,
 
     t_start = time.perf_counter()
     restored = None
-    with section("init", timer, time_async=params.time_async):
+    state = None
+    with section("init", timer, sync_args=lambda: state,
+                 time_async=params.time_async):
         if restore_from is not None:
             from ..io.restart import load_checkpoint
             state, r_t, r_cycles, r_dt, r_lm = load_checkpoint(

@@ -297,7 +297,11 @@ def make_time_loop(cfg, restore=False):
                     _, t, cycle, dt_prev, lm, ok = carry
                     dt1, _, okc = dt_update(cfg, lm, dt_prev, cycle,
                                             reduce=False)
-                    return (ok & okc & (t < maxtime) & (cycle < maxcycle)
+                    # pairs only run from even cycles (the kernel's sweep
+                    # orders assume it; a restore may resume at an odd one,
+                    # which then runs entirely in the single-cycle loop)
+                    return (ok & okc & (cycle % 2 == 0)
+                            & (t < maxtime) & (cycle < maxcycle)
                             & (t + dt1 < maxtime) & (cycle + 1 < maxcycle))
 
                 def body_pair(carry):

@@ -11,8 +11,8 @@ and resume bit-exactly.
     state, t, cycles, dt_prev, local_min = load_checkpoint(path, params)
     armon(params, restore_from=path)
 
-Periodic saving: ``checkpoint_step=N`` writes `<output_file>.ckpt` every N
-cycles (forces the per-cycle driver).
+Periodic saving: ``checkpoint_step=N`` writes `<output_file>.ckpt.npz`
+every N cycles (forces the per-cycle driver).
 """
 
 import numpy as np

@@ -157,7 +157,9 @@ class Sedov(TestCase):
     """Sedov blast wave (`src/tests.jl:9-19,63,110-120,204-211`).
 
     `r` is the radius of the initial energy deposit, computed from the cell
-    size as `hypot(dx, dy) / sqrt(2)` (`src/tests.jl:15-19`).
+    size as `hypot(dx, dy) / sqrt(2)` (`src/tests.jl:15-19`). The reference
+    carries `r` (and squares it) in the working precision T; mirroring that
+    keeps f32 boundary-cell classification identical.
     """
     name = "Sedov"
     default_CFL = 0.7
@@ -165,26 +167,36 @@ class Sedov(TestCase):
     default_domain_size = (2.0, 2.0)
     default_domain_origin = (-1.0, -1.0)
 
-    def __init__(self, r: float):
-        self.r = float(r)
+    def __init__(self, r: float, dtype=None):
+        import numpy as np
+        self.dtype = np.dtype(dtype if dtype is not None else np.float64)
+        self.r = self.dtype.type(r)
 
     def _key(self):
-        return (type(self).__name__, self.r)
+        return (type(self).__name__, float(self.r), self.dtype.name)
 
     @classmethod
-    def from_cell_size(cls, dx, dy):
-        return cls(math.hypot(dx, dy) / math.sqrt(2.0))
+    def from_cell_size(cls, dx, dy, dtype=None):
+        import numpy as np
+        T = np.dtype(dtype if dtype is not None else np.float64).type
+        # hypot in T, then /sqrt(2) in f64, converted to T — the reference's
+        # `r_Sedov::T = hypot(Δx...) / sqrt(2)` (src/tests.jl:15-19)
+        return cls(float(np.hypot(T(dx), T(dy)) / math.sqrt(2.0)), dtype)
 
     def init_params(self):
-        # E such that the blast wave reaches r=1 at t=1 (src/tests.jl:114)
+        # E such that the blast wave reaches r=1 at t=1 (src/tests.jl:114);
+        # pi converts to T before the product, as Julia's Irrational does.
+        import numpy as np
+        T = self.dtype.type
         return InitTwoState(
             high_rho=1.0, low_rho=1.0,
-            high_E=(1.0 / 1.033) ** 5 / (math.pi * self.r ** 2),
+            high_E=float((1.0 / 1.033) ** 5 / (T(math.pi) * self.r ** 2)),
             low_E=2.5e-14,
             high_u=0.0, low_u=0.0, high_v=0.0, low_v=0.0,
         )
 
     def region_high(self, x, y):
+        # r^2 evaluated in T (src/tests.jl:63: sum(x.^2) <= s.r^2)
         return x ** 2 + y ** 2 <= self.r ** 2
 
     def boundaries(self):
@@ -216,9 +228,10 @@ _REGISTRY = {
 }
 
 
-def test_from_name(name, dx=None, dy=None) -> TestCase:
+def test_from_name(name, dx=None, dy=None, dtype=None) -> TestCase:
     """Instantiate a test case by name (`src/tests.jl:21-28`). `Sedov` needs
-    the cell size to compute its deposit radius (`src/tests.jl:15-19`)."""
+    the cell size (and working dtype) to compute its deposit radius
+    (`src/tests.jl:15-19`)."""
     if isinstance(name, TestCase):
         return name
     cls = _REGISTRY.get(str(name))
@@ -227,5 +240,5 @@ def test_from_name(name, dx=None, dy=None) -> TestCase:
     if cls is Sedov:
         if dx is None or dy is None:
             solver_error("config", "Sedov requires the cell size (dx, dy)")
-        return Sedov.from_cell_size(dx, dy)
+        return Sedov.from_cell_size(dx, dy, dtype)
     return cls()

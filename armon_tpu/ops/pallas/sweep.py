@@ -373,7 +373,11 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
 
         cur = pl.BlockSpec((chunk, tile_c), lambda i, j: (i, j),
                            memory_space=pltpu.VMEM)
-        blocks_above = rows // halo_blk  # number of 8-row blocks
+        # number of 8-row blocks, counting a ragged (padded) tail block:
+        # reads past the array edge land only in cells whose outputs are
+        # never consumed, while clamping to the last FULL block would
+        # alias interior rows into real stencils.
+        blocks_above = pl.cdiv(rows, halo_blk)
 
         def above_map(i, j):
             return (jnp.maximum(i * (chunk // halo_blk) - 1, 0), j)
@@ -492,7 +496,7 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, interpret=False):
 
     cur = pl.BlockSpec((chunk, cols), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    blocks_tot = max(rows // halo_blk, 1)
+    blocks_tot = max(pl.cdiv(rows, halo_blk), 1)  # counts a ragged tail block
 
     def above_map(i):
         return (jnp.maximum(i * (chunk // halo_blk) - 1, 0), 0)
@@ -690,7 +694,7 @@ def fused_pair(cfg, orders, rho, u, v, E, dts, interpret=False):
 
     cur = pl.BlockSpec((chunk, cols), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    blocks_tot = max(rows // halo_blk, 1)
+    blocks_tot = max(pl.cdiv(rows, halo_blk), 1)  # counts a ragged tail block
 
     def above_map(i):
         return (jnp.maximum(i * (chunk // halo_blk) - 1, 0), 0)

@@ -44,12 +44,18 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     (clamped to hardware alignment and the VMEM budget).
     """
     # X sweep: full-width row tiles; rows are independent so any multiple of
-    # the 8-sublane tiling works. Measured on v5e: throughput is flat in
-    # tile_r (DMA-ceiling bound), so prefer a divisor of `rows` to avoid
-    # ragged tails, falling back to 8.
-    x_tile = 32 if rows % 8 == 0 else rows
-    while rows % 8 == 0 and (rows % x_tile) and x_tile > 8:
-        x_tile //= 2
+    # the 8-sublane tiling works (ragged tails are padded/masked by Pallas).
+    # Measured on v5e: throughput is flat in tile_r (DMA-ceiling bound), so
+    # prefer a divisor of `rows`, falling back to ragged 32-row tiles —
+    # never the whole array (VMEM blowup at production widths).
+    if rows <= 256:
+        x_tile = _round_up(rows, 8)
+    else:
+        x_tile = 32
+        while (rows % x_tile) and x_tile > 8:
+            x_tile //= 2
+        if rows % x_tile:
+            x_tile = 32
 
     # Y sweep: (chunk + 2*halo) x tile_c buffers, LIVE_BUFFERS of them.
     if rows <= 264:
@@ -101,17 +107,32 @@ def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
     }
 
 
+def _pair_safe_chunk(rows: int, chunk: int) -> int:
+    """The pair kernel's mid-cycle boundary refill runs only inside the
+    first/last chunk's VMEM buffer; a short tail chunk (< 16 rows) would
+    leave the top ghost band unrefilled in the previous chunk's halo copy.
+    Shrink the chunk until the tail is empty or >= 16 rows."""
+    chunk = max(16, min(chunk, _round_up(rows, 8)))
+    c = chunk
+    while c >= 16:
+        rem = rows % c
+        if rem == 0 or rem >= 16:
+            return c
+        c -= 8
+    return _round_up(rows, 8)  # single chunk
+
+
 def pair_chunk_rows(rows: int, cols: int, itemsize: int,
                     block_size=None) -> int:
     """Row-chunk height for the two-cycle (temporally blocked) kernel:
     (chunk + 16)-row full-width buffers. `block_size[1]` overrides (cache-
-    block option parity, clamped to alignment)."""
+    block option parity, clamped to alignment and tail safety)."""
     if block_size is not None:
-        return max(8, _round_up(min(block_size[1], rows), 8))
+        return _pair_safe_chunk(rows, _round_up(min(block_size[1], rows), 8))
     if rows <= 144:
         return _round_up(rows, 8)
     # Calibrated on the dev chip: Mosaic's peak is ~55 live full-width
     # buffers for the two-cycle body (chunk=48 at 8208 lanes OOMs, 32 fits).
     per_row = cols * 55 * itemsize
-    chunk = max(8, ((VMEM_BUDGET // per_row - 16) // 8) * 8)
-    return min(chunk, 256)
+    chunk = ((VMEM_BUDGET // per_row - 16) // 8) * 8
+    return _pair_safe_chunk(rows, min(chunk, 256))

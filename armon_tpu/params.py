@@ -134,7 +134,7 @@ class ArmonParameters:
             ds = tuple(domain_size) if domain_size is not None else cls.default_domain_size
             dx = ds[0] / self.N[0]
             dy = ds[1] / self.N[1]
-            self.test = test_from_name(test, dx, dy)
+            self.test = test_from_name(test, dx, dy, self.data_type)
 
         tcls = type(self.test)
         self.domain_size = tuple(map(float, domain_size)) if domain_size is not None \

@@ -45,11 +45,24 @@ class Timer:
                 for k, v in self.times.items()}
 
 
+def _hard_sync(tree):
+    """Force completion of `tree`'s computations. `block_until_ready` alone
+    is not sufficient on every PJRT backend (the axon tunnel returns early);
+    a host read of one element is."""
+    import numpy as np
+    jax.block_until_ready(tree)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "shape"):
+            np.asarray(jax.device_get(leaf)).ravel()[:1]
+            break
+
+
 @contextlib.contextmanager
 def section(name, timer: Timer = None, sync_args=None, time_async=True):
     """Named scope + optional host timing. With `time_async=False`, blocks on
-    `sync_args` (a pytree of arrays) before closing the timer — the analog of
-    the reference's per-section device barrier (`src/profiling.jl:86-88`)."""
+    `sync_args` (a pytree of arrays, or a zero-arg callable returning one)
+    before closing the timer — the analog of the reference's per-section
+    device barrier (`src/profiling.jl:86-88`)."""
     if timer is not None:
         timer.push(name)
     try:
@@ -58,7 +71,7 @@ def section(name, timer: Timer = None, sync_args=None, time_async=True):
     finally:
         if timer is not None:
             if not time_async and sync_args is not None:
-                jax.block_until_ready(sync_args)
+                _hard_sync(sync_args() if callable(sync_args) else sync_args)
             timer.pop()
 
 
