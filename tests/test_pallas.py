@@ -115,3 +115,30 @@ def test_pallas_sharded_matches_single(P):
         b = getattr(host, var)[g:-g, g:-g]
         tol = 1e-12 * np.maximum(1.0, np.abs(a))
         assert (np.abs(a - b) <= tol).all(), f"{var} differs on mesh {P}"
+
+
+@pytest.mark.parametrize("N", [(64, 52), (100, 101), (48, 44)],
+                         ids=lambda n: f"{n[0]}x{n[1]}")
+def test_pallas_ragged_heights(N):
+    """Padded heights that are not multiples of 8 exercise the ragged tail
+    halo blocks (a clamping bug here once aliased interior rows into real
+    stencils)."""
+    from armon_tpu.core.solver import make_jit_loop
+
+    def run(params):
+        state = make_init(params)()
+        loop = make_jit_loop(params)
+        state, t, cycles, dt, lm, ok = loop(state)
+        assert bool(ok)
+        return gather_state(params, state), float(dt)
+
+    kw = dict(N=N, maxcycle=8)
+    h1, d1 = run(reference_params("Sod_circ", np.float64, **kw))
+    h2, d2 = run(reference_params("Sod_circ", np.float64,
+                                  kernel_tier="pallas", **kw))
+    assert abs(d1 - d2) <= 4e-16 * abs(d1)
+    g = 4
+    for var in ("rho", "u", "v", "E"):
+        a = getattr(h1, var)[g:-g, g:-g]
+        b = getattr(h2, var)[g:-g, g:-g]
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-14), f"{N} {var}"
