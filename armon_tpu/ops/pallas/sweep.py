@@ -265,7 +265,9 @@ def _x_sweep_kernel(cfg, tile_r, interp, dt_ref, rho_ref, u_ref, v_ref, E_ref,
     def sh(a, k):
         # pltpu.roll requires a non-negative shift; (-k) % n is equivalent
         # to jnp.roll(a, -k) wrap-around semantics.
-        return pltpu.roll(a, (-k) % a.shape[1], 1) if k else a
+        # np.int32: under jax_enable_x64 a bare int becomes an i64
+        # operand, which tpu.dynamic_rotate rejects
+        return pltpu.roll(a, np.int32((-k) % a.shape[1]), 1) if k else a
 
     rho, u, v, E = rho_ref[:], u_ref[:], v_ref[:], E_ref[:]
     rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dx),
@@ -305,7 +307,7 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref,
     E = halo_cat(E_c[:], E_a[:], E_b[:])
 
     def sh(a, k):
-        return pltpu.roll(a, (-k) % a.shape[0], 0) if k else a
+        return pltpu.roll(a, np.int32((-k) % a.shape[0]), 0) if k else a
 
     # Y sweep: the axis velocity is v
     rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dy),
@@ -450,10 +452,12 @@ def _cycle_kernel(cfg, chunk, x_first, interp, dtx_ref, dty_ref,
     E = halo_cat(E_c[:], E_a[:], E_b[:])
 
     def shx(a, k):
-        return pltpu.roll(a, (-k) % a.shape[1], 1) if k else a
+        # np.int32: under jax_enable_x64 a bare int becomes an i64
+        # operand, which tpu.dynamic_rotate rejects
+        return pltpu.roll(a, np.int32((-k) % a.shape[1]), 1) if k else a
 
     def shy(a, k):
-        return pltpu.roll(a, (-k) % a.shape[0], 0) if k else a
+        return pltpu.roll(a, np.int32((-k) % a.shape[0]), 0) if k else a
 
     div = _make_div(cfg, interp)
     if x_first:
@@ -626,10 +630,12 @@ def _pair_kernel(cfg, chunk, nci, rows_tot, orders, interp,
     E = halo_cat(E_c[:], E_a[:], E_b[:])
 
     def shx(a, k):
-        return pltpu.roll(a, (-k) % a.shape[1], 1) if k else a
+        # np.int32: under jax_enable_x64 a bare int becomes an i64
+        # operand, which tpu.dynamic_rotate rejects
+        return pltpu.roll(a, np.int32((-k) % a.shape[1]), 1) if k else a
 
     def shy(a, k):
-        return pltpu.roll(a, (-k) % a.shape[0], 0) if k else a
+        return pltpu.roll(a, np.int32((-k) % a.shape[0]), 0) if k else a
 
     def one_cycle(x_first, dtx, dty, rho, u, v, E):
         if x_first:

@@ -1,0 +1,88 @@
+"""On-hardware validation: the checks the CPU test suite cannot run.
+
+The pytest suite runs on the CPU backend (virtual mesh, interpret-mode
+Pallas). This script validates the *compiled Mosaic* path on a real TPU:
+
+  1. f32 Sod golden regression, auto tier (fused kernels)   -> zero diffs
+  2. same with fuse_cycles=2 (temporal blocking)            -> zero diffs
+  3. ragged-height run stays finite/physical
+  4. f64 run (jnp fallback) matches the f64 golden gates
+  5. throughput sanity at 2048^2
+
+Run:  python scripts/tpu_validate.py       (takes ~15-25 min, mostly compiles)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+FAILED = []
+
+
+def check(name, ok, detail=""):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name} {detail}", flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    import jax
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+
+    from armon_tpu import ArmonParameters, armon
+    from armon_tpu.core.solver import gather_state
+    from armon_tpu.io.output import read_reference_csv, compare_states
+
+    ref_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "reference_data")
+
+    def golden(dtype, bits, atol, rtol, **kw):
+        p = ArmonParameters(test="Sod", N=(100, 100), data_type=dtype,
+                            maxcycle=1000, silent=5, measure_time=False,
+                            return_data=True, **kw)
+        stats = armon(p)
+        cfg = p.config
+        ref_dt, ref_cycles, ref = read_reference_csv(
+            cfg, os.path.join(ref_dir, f"ref_Sod_{bits}bits.csv"))
+        cnt, maxd, det = compare_states(
+            cfg, gather_state(p, stats.data), ref, atol=atol, rtol=rtol)
+        return stats.cycles == ref_cycles and cnt == 0, \
+            f"cycles={stats.cycles}/{ref_cycles} diffs={cnt}"
+
+    f32tol = (1e-5, 20 * np.finfo(np.float32).eps)
+    ok, d = golden(np.float32, 32, *f32tol)
+    check("f32 golden (auto tier, compiled Mosaic)", ok, d)
+
+    ok, d = golden(np.float32, 32, *f32tol, fuse_cycles=2)
+    check("f32 golden (temporal blocking)", ok, d)
+
+    p = ArmonParameters(test="Sod", N=(100, 101), data_type=np.float32,
+                        maxcycle=1000, silent=5, measure_time=False,
+                        return_data=True)
+    stats = armon(p)
+    rho = np.asarray(stats.data.rho)[4:-4, 4:-4]
+    check("ragged-height run physical", bool(np.isfinite(rho).all()
+          and rho.min() > 0), f"rho in ({rho.min():.3f}, {rho.max():.3f})")
+
+    ok, d = golden(np.float64, 64, 1e-13, 4 * np.finfo(np.float64).eps)
+    check("f64 golden (jnp fallback, emulated doubles)", ok, d)
+
+    import bench
+    v, el, ran = bench.bench(n=2048, dtype=np.float32, cycles=100)
+    check("throughput sanity 2048^2", v > 1.2e9, f"{v:.3e} cells/s")
+
+    print()
+    if FAILED:
+        print("FAILED:", ", ".join(FAILED))
+        return 1
+    print("all TPU validations passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
