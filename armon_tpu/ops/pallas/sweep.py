@@ -329,6 +329,12 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref,
 
 # ------------------------------------------------------------------ wrappers
 
+def _im(*vals):
+    """Index-map results as i32: under jax_enable_x64 the traced grid index
+    and int constants become i64, which Mosaic rejects."""
+    return tuple(jnp.asarray(v, jnp.int32) for v in vals)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "axis", "interpret"))
 def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
     """Run one fused sweep. Returns (rho, u, v, E, p_stale, local_dt_min).
@@ -350,15 +356,15 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
     if axis is Axis.X:
         tile_r = plan.x_tile_rows
         grid = (pl.cdiv(rows, tile_r),)
-        field_spec = pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
+        field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r, interpret)
-        dtmin_spec = pl.BlockSpec((8, 128), lambda i: (0, 0),
+        dtmin_spec = pl.BlockSpec((8, 128), lambda i: _im(0, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+            in_specs=[pl.BlockSpec((1, 1), lambda i: _im(0, 0),
                                    memory_space=pltpu.SMEM)] + [field_spec] * 4,
             out_specs=[field_spec] * 5 + [dtmin_spec],
             out_shape=[out_field()] * 5 + [
@@ -373,7 +379,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
         nci, ncj = pl.cdiv(rows, chunk), pl.cdiv(cols, tile_c)
         grid = (nci, ncj)
 
-        cur = pl.BlockSpec((chunk, tile_c), lambda i, j: (i, j),
+        cur = pl.BlockSpec((chunk, tile_c), lambda i, j: _im(i, j),
                            memory_space=pltpu.VMEM)
         # number of 8-row blocks, counting a ragged (padded) tail block:
         # reads past the array edge land only in cells whose outputs are
@@ -382,11 +388,11 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
         blocks_above = pl.cdiv(rows, halo_blk)
 
         def above_map(i, j):
-            return (jnp.maximum(i * (chunk // halo_blk) - 1, 0), j)
+            return _im(jnp.maximum(i * (chunk // halo_blk) - 1, 0), j)
 
         def below_map(i, j):
-            return (jnp.minimum((i + 1) * (chunk // halo_blk),
-                                blocks_above - 1), j)
+            return _im(jnp.minimum((i + 1) * (chunk // halo_blk),
+                                   blocks_above - 1), j)
 
         above = pl.BlockSpec((halo_blk, tile_c), above_map,
                              memory_space=pltpu.VMEM)
@@ -395,7 +401,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
 
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
                                    halo_blk, interpret)
-        in_specs = [pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+        in_specs = [pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
                                  memory_space=pltpu.SMEM)]
         for _ in range(4):
             in_specs += [cur, above, below]
@@ -407,7 +413,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
             grid=grid,
             in_specs=in_specs,
             out_specs=[cur] * 5 + [
-                pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                pl.BlockSpec((8, 128), lambda i, j: _im(0, 0),
                              memory_space=pltpu.VMEM)],
             out_shape=[out_field()] * 5 + [
                 jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
@@ -498,20 +504,20 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, interpret=False):
     nci = pl.cdiv(rows, chunk)
     grid = (nci,)
 
-    cur = pl.BlockSpec((chunk, cols), lambda i: (i, 0),
+    cur = pl.BlockSpec((chunk, cols), lambda i: _im(i, 0),
                        memory_space=pltpu.VMEM)
     blocks_tot = max(pl.cdiv(rows, halo_blk), 1)  # counts a ragged tail block
 
     def above_map(i):
-        return (jnp.maximum(i * (chunk // halo_blk) - 1, 0), 0)
+        return _im(jnp.maximum(i * (chunk // halo_blk) - 1, 0), 0)
 
     def below_map(i):
-        return (jnp.minimum((i + 1) * (chunk // halo_blk), blocks_tot - 1), 0)
+        return _im(jnp.minimum((i + 1) * (chunk // halo_blk), blocks_tot - 1), 0)
 
     above = pl.BlockSpec((halo_blk, cols), above_map, memory_space=pltpu.VMEM)
     below = pl.BlockSpec((halo_blk, cols), below_map, memory_space=pltpu.VMEM)
 
-    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: _im(0, 0), memory_space=pltpu.SMEM)
     in_specs = [smem, smem]
     args = [dtx, dty]
     for a in (rho, u, v, E):
@@ -523,7 +529,7 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, interpret=False):
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[cur] * 5 + [pl.BlockSpec((8, 128), lambda i: (0, 0),
+        out_specs=[cur] * 5 + [pl.BlockSpec((8, 128), lambda i: _im(0, 0),
                                             memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((rows, cols), cfg.dtype)] * 5 + [
             jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
@@ -698,20 +704,20 @@ def fused_pair(cfg, orders, rho, u, v, E, dts, interpret=False):
     nci = pl.cdiv(rows, chunk)
     grid = (nci,)
 
-    cur = pl.BlockSpec((chunk, cols), lambda i: (i, 0),
+    cur = pl.BlockSpec((chunk, cols), lambda i: _im(i, 0),
                        memory_space=pltpu.VMEM)
     blocks_tot = max(pl.cdiv(rows, halo_blk), 1)  # counts a ragged tail block
 
     def above_map(i):
-        return (jnp.maximum(i * (chunk // halo_blk) - 1, 0), 0)
+        return _im(jnp.maximum(i * (chunk // halo_blk) - 1, 0), 0)
 
     def below_map(i):
-        return (jnp.minimum((i + 1) * (chunk // halo_blk), blocks_tot - 1), 0)
+        return _im(jnp.minimum((i + 1) * (chunk // halo_blk), blocks_tot - 1), 0)
 
     above = pl.BlockSpec((halo_blk, cols), above_map, memory_space=pltpu.VMEM)
     below = pl.BlockSpec((halo_blk, cols), below_map, memory_space=pltpu.VMEM)
 
-    smem = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((1, 4), lambda i: _im(0, 0), memory_space=pltpu.SMEM)
     in_specs = [smem]
     args = [dt_arr]
     for a in (rho, u, v, E):
@@ -720,7 +726,7 @@ def fused_pair(cfg, orders, rho, u, v, E, dts, interpret=False):
 
     kernel = functools.partial(_pair_kernel, cfg, chunk, nci, rows,
                                orders, interpret)
-    acc = pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((8, 128), lambda i: _im(0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
