@@ -40,16 +40,19 @@ def acoustic_gad(axis: Axis, dt, dx, rho, uax, p, c, limiter_name, dtype):
     T = np.dtype(dtype).type
     lim = limiter_from_name(limiter_name)
 
-    rho_m, rho_p = sh(rho, -1, axis), sh(rho, 1, axis)
-    rho_m2 = sh(rho, -2, axis)
-    c_m, c_p, c_m2 = sh(c, -1, axis), sh(c, 1, axis), sh(c, -2, axis)
-    u_m, u_p, u_m2 = sh(uax, -1, axis), sh(uax, 1, axis), sh(uax, -2, axis)
-    p_m, p_p, p_m2 = sh(p, -1, axis), sh(p, 1, axis), sh(p, -2, axis)
+    rho_m = sh(rho, -1, axis)
+    c_m = sh(c, -1, axis)
+    u_m = sh(uax, -1, axis)
+    p_m = sh(p, -1, axis)
 
-    # First-order solves on the left, current and right interfaces
-    us_im, ps_im = acoustic_godunov(rho_m, rho_m2, c_m, c_m2, u_m, u_m2, p_m, p_m2)
+    # First-order solve on the current (i-1/2) interface; the left/right
+    # interface solves are the SAME elementwise map on shifted inputs, and
+    # `sh` (jnp.roll) is a permutation, which commutes exactly with
+    # elementwise math — deriving them by shifting is bitwise identical
+    # everywhere while removing 2 of the 3 Godunov solves.
     us_i, ps_i = acoustic_godunov(rho, rho_m, c, c_m, uax, u_m, p, p_m)
-    us_ip, ps_ip = acoustic_godunov(rho_p, rho, c_p, c, u_p, uax, p_p, p)
+    us_im, ps_im = sh(us_i, -1, axis), sh(ps_i, -1, axis)
+    us_ip, ps_ip = sh(us_i, 1, axis), sh(ps_i, 1, axis)
 
     # Slope ratios (src/riemann_schemes.jl:84-87); the +1e-6 guard is part of
     # the reference scheme.
