@@ -365,23 +365,61 @@ def gather_state(params, state: State) -> State:
     lr, lc = cfg.local_shape
     px, py = cfg.proc_dims
     nx, ny = cfg.n_global
+    nxl, nyl = cfg.n_local
+    ex, ey = cfg.edge_cells
 
-    def unblock(a):
-        a = np.asarray(a).reshape(py, lr, px, lc)
-        out = np.zeros((ny + 2 * g, nx + 2 * g), cfg.dtype)
-        # interior from each block's real cells
-        real = a[:, g:lr - g, :, g:lc - g]
-        out[g:-g, g:-g] = real.reshape(py * (lr - 2 * g), px * (lc - 2 * g))
-        # global ghost bands + corners come from the border blocks
-        out[:g, g:-g] = a[0, :g, :, g:lc - g].reshape(g, nx)
-        out[-g:, g:-g] = a[-1, lr - g:, :, g:lc - g].reshape(g, nx)
-        out[g:-g, :g] = a[:, g:lr - g, 0, :g].reshape(ny, g)
-        out[g:-g, -g:] = a[:, g:lr - g, -1, lc - g:].reshape(ny, g)
-        out[:g, :g] = a[0, :g, 0, :g]
-        out[:g, -g:] = a[0, :g, -1, lc - g:]
-        out[-g:, :g] = a[-1, lr - g:, 0, :g]
-        out[-g:, -g:] = a[-1, lr - g:, -1, lc - g:]
-        return out
+    if (ex, ey) == (nxl, nyl):
+        def unblock(a):
+            a = np.asarray(a).reshape(py, lr, px, lc)
+            out = np.zeros((ny + 2 * g, nx + 2 * g), cfg.dtype)
+            # interior from each block's real cells
+            real = a[:, g:lr - g, :, g:lc - g]
+            out[g:-g, g:-g] = real.reshape(py * (lr - 2 * g), px * (lc - 2 * g))
+            # global ghost bands + corners come from the border blocks
+            out[:g, g:-g] = a[0, :g, :, g:lc - g].reshape(g, nx)
+            out[-g:, g:-g] = a[-1, lr - g:, :, g:lc - g].reshape(g, nx)
+            out[g:-g, :g] = a[:, g:lr - g, 0, :g].reshape(ny, g)
+            out[g:-g, -g:] = a[:, g:lr - g, -1, lc - g:].reshape(ny, g)
+            out[:g, :g] = a[0, :g, 0, :g]
+            out[:g, -g:] = a[0, :g, -1, lc - g:]
+            out[-g:, :g] = a[-1, lr - g:, 0, :g]
+            out[-g:, -g:] = a[-1, lr - g:, -1, lc - g:]
+            return out
+    else:
+        # Uneven split: the hi-edge shards own only (ex, ey) real cells;
+        # their mirror-BC ghost bands sit just past those, and the remaining
+        # slack is dead — skip it when reassembling.
+        def unblock(a):
+            a = np.asarray(a).reshape(py, lr, px, lc)
+            out = np.zeros((ny + 2 * g, nx + 2 * g), cfg.dtype)
+            for by in range(py):
+                hy = ey if by == py - 1 else nyl
+                r0 = g + by * nyl
+                for bx in range(px):
+                    wx = ex if bx == px - 1 else nxl
+                    c0 = g + bx * nxl
+                    blk = a[by, :, bx, :]
+                    out[r0:r0 + hy, c0:c0 + wx] = blk[g:g + hy, g:g + wx]
+                    if by == 0:
+                        out[0:g, c0:c0 + wx] = blk[0:g, g:g + wx]
+                    if by == py - 1:
+                        out[g + ny:, c0:c0 + wx] = blk[g + hy:2 * g + hy,
+                                                       g:g + wx]
+                    if bx == 0:
+                        out[r0:r0 + hy, 0:g] = blk[g:g + hy, 0:g]
+                    if bx == px - 1:
+                        out[r0:r0 + hy, g + nx:] = blk[g:g + hy,
+                                                       g + wx:2 * g + wx]
+                    if by == 0 and bx == 0:
+                        out[:g, :g] = blk[:g, :g]
+                    if by == 0 and bx == px - 1:
+                        out[:g, g + nx:] = blk[:g, g + wx:2 * g + wx]
+                    if by == py - 1 and bx == 0:
+                        out[g + ny:, :g] = blk[g + hy:2 * g + hy, :g]
+                    if by == py - 1 and bx == px - 1:
+                        out[g + ny:, g + nx:] = blk[g + hy:2 * g + hy,
+                                                    g + wx:2 * g + wx]
+            return out
 
     return State(*[unblock(a) for a in state])
 
@@ -604,8 +642,17 @@ def host_to_device(params, state_host: State) -> State:
     px, py = cfg.proc_dims
     nxl, nyl = cfg.n_local
 
+    g = cfg.nghost
+    nx, ny = cfg.n_global
+
     def block(a):
         a = np.asarray(a)
+        # Uneven split: the edge shards' padded windows over-run the global
+        # array by the slack; edge-replicate into it (slack cells are dead).
+        sy = py * nyl + 2 * g - (ny + 2 * g)
+        sx = px * nxl + 2 * g - (nx + 2 * g)
+        if sy or sx:
+            a = np.pad(a, ((0, sy), (0, sx)), mode="edge")
         out = np.empty((py * lr, px * lc), cfg.dtype)
         for by in range(py):
             for bx in range(px):

@@ -108,6 +108,17 @@ def use_fused_tier(cfg) -> bool:
     return _pallas_interpret(cfg) or np.dtype(cfg.dtype).itemsize == 4
 
 
+def _shard_n_real(cfg):
+    """Traced (nx, ny) real extent of this shard for the kernels' CFL mask;
+    None when every shard is full (even split or single device)."""
+    if cfg.spmd and (cfg.uneven(Axis.X) or cfg.uneven(Axis.Y)):
+        from ..ops.reductions import shard_real_extents
+        nx, ny = shard_real_extents(cfg)
+        return jnp.stack([jnp.asarray(nx, jnp.int32),
+                          jnp.asarray(ny, jnp.int32)])
+    return None
+
+
 def fused_sweep_step(cfg, state, axis: Axis, dt):
     """One sweep through the fused Pallas kernel. Only (rho,u,v,E) ghosts are
     exchanged — p/c ghosts are recomputed in-kernel by the EOS (which
@@ -117,7 +128,7 @@ def fused_sweep_step(cfg, state, axis: Axis, dt):
     state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
     rho, u, v, E, p_stale, local_min = fused_sweep(
         cfg, axis, state.rho, state.u, state.v, state.E, dt,
-        interpret=_pallas_interpret(cfg))
+        n_real=_shard_n_real(cfg), interpret=_pallas_interpret(cfg))
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 
@@ -136,7 +147,8 @@ def fused_cycle_step(cfg, state, pair, dt):
     fy = f1 if x_first else f0
     rho, u, v, E, p_stale, local_min = fused_cycle(
         cfg, x_first, state.rho, state.u, state.v, state.E,
-        dt * T(fx), dt * T(fy), interpret=_pallas_interpret(cfg))
+        dt * T(fx), dt * T(fy), n_real=_shard_n_real(cfg),
+        interpret=_pallas_interpret(cfg))
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 

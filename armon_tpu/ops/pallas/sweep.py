@@ -243,11 +243,15 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None):
 
 # ------------------------------------------------------------------- kernels
 
-def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0):
+def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None):
     """Per-tile CFL min over real cells (`src/reductions.jl:2-20`), using the
-    post-sweep velocities with the pre-sweep sound speed (see module doc)."""
+    post-sweep velocities with the pre-sweep sound speed (see module doc).
+    `nx`/`ny` override the shard's real extent (traced, from SMEM) for
+    uneven splits where the edge shard owns fewer real cells than the
+    padded block (`src/parameters.jl:673-697` analog)."""
     g = cfg.nghost
-    nx, ny = cfg.n_local
+    if nx is None:
+        nx, ny = cfg.n_local
     shp = u_new.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + col0
@@ -260,7 +264,8 @@ def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0):
     return jnp.min(jnp.where(real, cell, big))
 
 
-def _x_sweep_kernel(cfg, tile_r, interp, dt_ref, rho_ref, u_ref, v_ref, E_ref,
+def _x_sweep_kernel(cfg, tile_r, interp, dt_ref, lim_ref,
+                    rho_ref, u_ref, v_ref, E_ref,
                     rho_o, u_o, v_o, E_o, p_o, dtmin_o):
     T = np.dtype(cfg.dtype).type
     dt = dt_ref[0, 0]
@@ -285,11 +290,12 @@ def _x_sweep_kernel(cfg, tile_r, interp, dt_ref, rho_ref, u_ref, v_ref, E_ref,
     def _():
         dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
 
-    m = _dt_tile_min(cfg, T, u2, v2, c_st, i * tile_r, 0)
+    m = _dt_tile_min(cfg, T, u2, v2, c_st, i * tile_r, 0,
+                     nx=lim_ref[0, 0], ny=lim_ref[0, 1])
     dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
 
 
-def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref,
+def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref, lim_ref,
                     rho_c, rho_a, rho_b, u_c, u_a, u_b,
                     v_c, v_a, v_b, E_c, E_a, E_b,
                     rho_o, u_o, v_o, E_o, p_o, dtmin_o):
@@ -327,7 +333,8 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref,
         dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
 
     m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl],
-                     ci * chunk, cj * tile_c)
+                     ci * chunk, cj * tile_c,
+                     nx=lim_ref[0, 0], ny=lim_ref[0, 1])
     dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
 
 
@@ -340,14 +347,18 @@ def _im(*vals):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "axis", "interpret"))
-def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
+def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
     """Run one fused sweep. Returns (rho, u, v, E, p_stale, local_dt_min).
 
     Ghost bands of rho/u/v/E along `axis` must be pre-filled (mirror BC or
-    halo exchange)."""
+    halo exchange). `n_real` = this shard's (nx, ny) real extent (traced;
+    defaults to cfg.n_local — pass it under uneven splits)."""
     rows, cols = rho.shape
     T = np.dtype(cfg.dtype).type
     dt_arr = jnp.asarray(dt, cfg.dtype).reshape(1, 1)
+    if n_real is None:
+        n_real = jnp.asarray(cfg.n_local, jnp.int32)
+    lim_arr = jnp.asarray(n_real, jnp.int32).reshape(1, 2)
 
     out_field = lambda: jax.ShapeDtypeStruct((rows, cols), cfg.dtype)
     # Mosaic's default scoped-VMEM limit is 16MB; the fused kernel keeps
@@ -369,13 +380,15 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec((1, 1), lambda i: _im(0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((1, 2), lambda i: _im(0, 0),
                                    memory_space=pltpu.SMEM)] + [field_spec] * 4,
             out_specs=[field_spec] * 5 + [dtmin_spec],
             out_shape=[out_field()] * 5 + [
                 jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
             compiler_params=cparams,
             interpret=interpret,
-        )(dt_arr, rho, u, v, E)
+        )(dt_arr, lim_arr, rho, u, v, E)
     else:
         halo_blk = plan.halo_block
         chunk = plan.y_chunk_rows
@@ -406,10 +419,12 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
                                    halo_blk, interpret)
         in_specs = [pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 2), lambda i, j: _im(0, 0),
                                  memory_space=pltpu.SMEM)]
         for _ in range(4):
             in_specs += [cur, above, below]
-        args = [dt_arr]
+        args = [dt_arr, lim_arr]
         for a in (rho, u, v, E):
             args += [a, a, a]
         out = pl.pallas_call(
@@ -431,7 +446,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, interpret=False):
 
 # ------------------------------------------------- fully-fused cycle kernel
 
-def _cycle_kernel(cfg, chunk, x_first, interp, dtx_ref, dty_ref,
+def _cycle_kernel(cfg, chunk, x_first, interp, dtx_ref, dty_ref, lim_ref,
                   rho_c, rho_a, rho_b, u_c, u_a, u_b,
                   v_c, v_a, v_b, E_c, E_a, E_b,
                   rho_o, u_o, v_o, E_o, p_o, dtmin_o):
@@ -489,18 +504,24 @@ def _cycle_kernel(cfg, chunk, x_first, interp, dtx_ref, dty_ref,
     def _():
         dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
 
-    m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], ci * chunk, 0)
+    m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], ci * chunk, 0,
+                     nx=lim_ref[0, 0], ny=lim_ref[0, 1])
     dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "x_first", "interpret"))
-def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, interpret=False):
+def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
+                interpret=False):
     """One full cycle (two sweeps) in a single fused kernel pass.
     BOTH ghost bands of rho/u/v/E must be pre-filled from the pre-cycle
-    state. Returns (rho, u, v, E, p_stale, local_dt_min)."""
+    state. Returns (rho, u, v, E, p_stale, local_dt_min). `n_real` = this
+    shard's (nx, ny) real extent (traced; defaults to cfg.n_local)."""
     rows, cols = rho.shape
     dtx = jnp.asarray(dt_x, cfg.dtype).reshape(1, 1)
     dty = jnp.asarray(dt_y, cfg.dtype).reshape(1, 1)
+    if n_real is None:
+        n_real = jnp.asarray(cfg.n_local, jnp.int32)
+    lim_arr = jnp.asarray(n_real, jnp.int32).reshape(1, 2)
     from ...parallel.blocking import VMEM_BUDGET, cycle_chunk_rows
     cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
     chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize)
@@ -522,8 +543,10 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, interpret=False):
     below = pl.BlockSpec((halo_blk, cols), below_map, memory_space=pltpu.VMEM)
 
     smem = pl.BlockSpec((1, 1), lambda i: _im(0, 0), memory_space=pltpu.SMEM)
-    in_specs = [smem, smem]
-    args = [dtx, dty]
+    lim_spec = pl.BlockSpec((1, 2), lambda i: _im(0, 0),
+                            memory_space=pltpu.SMEM)
+    in_specs = [smem, smem, lim_spec]
+    args = [dtx, dty, lim_arr]
     for a in (rho, u, v, E):
         in_specs += [cur, above, below]
         args += [a, a, a]

@@ -16,6 +16,7 @@ the TPU equivalent of the reference's `MPI_Iallreduce(MIN)`
 (`src/utils.jl:126-143`) and `MPI.Allreduce(SUM)` (`src/reductions.jl:318-320`).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,12 +26,52 @@ def real_slice(cfg):
     return (slice(g, -g), slice(g, -g))
 
 
+def shard_real_extents(cfg):
+    """Traced (nx_real, ny_real) of THIS shard. For an uneven split the
+    hi-edge shard owns only n_edge real cells; the rest of its padded block
+    is dead slack (`src/parameters.jl:673-697` analog). Must be called
+    inside shard_map when cfg.spmd."""
+    from jax import lax
+    nx, ny = cfg.n_local
+    if not cfg.spmd:
+        return np.int32(nx), np.int32(ny)
+    ex, ey = cfg.edge_cells
+    nx_r = jnp.where(lax.axis_index(cfg.axis_names[0])
+                     == cfg.proc_dims[0] - 1, np.int32(ex), np.int32(nx))
+    ny_r = jnp.where(lax.axis_index(cfg.axis_names[1])
+                     == cfg.proc_dims[1] - 1, np.int32(ey), np.int32(ny))
+    return nx_r, ny_r
+
+
+def _real_mask(cfg, shape):
+    """Boolean mask of the real cells in a padded (rows, cols) shard block;
+    accounts for edge-shard slack under an uneven split."""
+    g = cfg.nghost
+    nx_r, ny_r = shard_real_extents(cfg)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ((rows >= g) & (rows < g + ny_r) & (cols >= g) & (cols < g + nx_r))
+
+
+def _uneven(cfg):
+    return cfg.spmd and (cfg.uneven(0) or cfg.uneven(1))
+
+
 def dt_cfl_min(cfg, state):
     """Minimum CFL-stable dt over the real cells (`src/reductions.jl:14-20`)."""
     T = np.dtype(cfg.dtype).type
+    dx, dy = T(cfg.dx), T(cfg.dy)
+    if _uneven(cfg):
+        # Masked form: the static slice would include the edge shard's dead
+        # slack cells (garbage, possibly NaN). `where` keeps the min exact.
+        u, v, c = state.u, state.v, state.c
+        dt_x = dx / jnp.maximum(jnp.abs(u + c), jnp.abs(u - c))
+        dt_y = dy / jnp.maximum(jnp.abs(v + c), jnp.abs(v - c))
+        cell = jnp.minimum(dt_x, dt_y)
+        big = T(np.finfo(cfg.dtype).max)
+        return jnp.min(jnp.where(_real_mask(cfg, u.shape), cell, big))
     r = real_slice(cfg)
     u, v, c = state.u[r], state.v[r], state.c[r]
-    dx, dy = T(cfg.dx), T(cfg.dy)
     dt_x = dx / jnp.maximum(jnp.abs(u + c), jnp.abs(u - c))
     dt_y = dy / jnp.maximum(jnp.abs(v + c), jnp.abs(v - c))
     return jnp.min(jnp.minimum(dt_x, dt_y))
@@ -40,9 +81,15 @@ def conservation_vars(cfg, state):
     """(total mass, total energy) over real cells, scaled by the cell area
     (`src/reductions.jl:202-216,254-258`)."""
     T = np.dtype(cfg.dtype).type
+    ds = T(cfg.dx) * T(cfg.dy)
+    if _uneven(cfg):
+        mask = _real_mask(cfg, state.rho.shape)
+        zero = T(0.0)
+        rho = jnp.where(mask, state.rho, zero)
+        rhoE = jnp.where(mask, state.rho * state.E, zero)
+        return jnp.sum(rho) * ds, jnp.sum(rhoE) * ds
     r = real_slice(cfg)
     rho, E = state.rho[r], state.E[r]
-    ds = T(cfg.dx) * T(cfg.dy)
     mass = jnp.sum(rho) * ds
     energy = jnp.sum(rho * E) * ds
     return mass, energy

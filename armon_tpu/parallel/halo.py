@@ -79,12 +79,29 @@ def halo_exchange(cfg, state, axis: Axis, vars=COMM_VARS):
     # Mirror-BC slabs for the global borders (src/halo_exchange.jl:2-36)
     side_lo, side_hi = sides_along(axis)
     mirror_lo = jnp.flip(first_real, axis=arr_ax + 1) * _bc_factors(cfg, side_lo, vars)
-    mirror_hi = jnp.flip(last_real, axis=arr_ax + 1) * _bc_factors(cfg, side_hi, vars)
 
     ghosts_lo = jnp.where(idx == 0, mirror_lo, recv_from_prev)
-    ghosts_hi = jnp.where(idx == n_dev - 1, mirror_hi, recv_from_next)
-
     buf = _set_slab(buf, arr_ax, 0, g, ghosts_lo)
-    buf = _set_slab(buf, arr_ax, size - g, size, ghosts_hi)
+
+    if cfg.uneven(axis):
+        # Uneven split: the hi-edge shard's real cells end at g + n_edge,
+        # inside its padded block, so its mirror slab and ghost band sit at
+        # per-shard (traced) positions. Interior shards are full, so every
+        # ppermute slab above stays static; only this shard's own hi-side
+        # fill moves. The slack cells beyond the mirror band are dead
+        # (never read by any real-cell stencil).
+        ne = np.int32(cfg.edge_cells[int(axis)])
+        is_edge = idx == n_dev - 1
+        src_start = jnp.where(is_edge, ne, np.int32(size - 2 * g))
+        src = lax.dynamic_slice_in_dim(buf, src_start, g, axis=arr_ax + 1)
+        mirror_hi = jnp.flip(src, axis=arr_ax + 1) * _bc_factors(cfg, side_hi, vars)
+        ghosts_hi = jnp.where(is_edge, mirror_hi, recv_from_next)
+        dst_start = jnp.where(is_edge, ne + g, np.int32(size - g))
+        buf = lax.dynamic_update_slice_in_dim(buf, ghosts_hi, dst_start,
+                                              axis=arr_ax + 1)
+    else:
+        mirror_hi = jnp.flip(last_real, axis=arr_ax + 1) * _bc_factors(cfg, side_hi, vars)
+        ghosts_hi = jnp.where(idx == n_dev - 1, mirror_hi, recv_from_next)
+        buf = _set_slab(buf, arr_ax, size - g, size, ghosts_hi)
 
     return state._replace(**{v: buf[k] for k, v in enumerate(vars)})

@@ -216,17 +216,23 @@ class ArmonParameters:
 
     def _init_indexing(self, o):
         """src/parameters.jl:673-697: split the global grid over the mesh.
-        TPU restriction: the split must be even (XLA shards are uniform); the
-        reference gives the remainder to edge ranks instead."""
+
+        Any (N, P) is accepted like the reference. XLA shards must be
+        uniform, so every shard is padded to n_local = ceil(N/P) real cells
+        and the hi-edge shard owns the short remainder (n_edge); its slack
+        cells are dead by the padded-array design. (The reference instead
+        gives the LONG remainder to the edge rank with floor splits — the
+        global cell assignment is identical, only the partition differs.)"""
         self.global_grid = self.N
         px, py = self.P
         nx, ny = self.global_grid
-        if nx % px != 0 or ny % py != 0:
-            solver_error("config",
-                         f"domain {self.global_grid} must divide evenly over the "
-                         f"{px}x{py} device mesh (uniform XLA shards)")
-        self.n_local = (nx // px, ny // py)
-        if any(p > 1 and n < self.nghost for p, n in zip(self.P, self.n_local)):
+        self.n_local = (-(-nx // px), -(-ny // py))
+        self.n_edge = (nx - (px - 1) * self.n_local[0],
+                       ny - (py - 1) * self.n_local[1])
+        if any(p > 1 and n < self.nghost
+               for p, n in zip(self.P, self.n_local)) \
+                or any(p > 1 and e < self.nghost
+                       for p, e in zip(self.P, self.n_edge)):
             solver_error("config",
                          f"domain {self.global_grid} is too small to be split by "
                          f"{self.P} devices while keeping more than "
@@ -280,6 +286,7 @@ class ArmonParameters:
                 cst_dt=self.cst_dt,
                 dt_on_even_cycles=self.dt_on_even_cycles,
                 proc_dims=self.P,
+                n_edge=self.n_edge,
                 kernel_tier=self.kernel_tier,
                 block_size=tuple(self.block_size) if self.block_size else None,
                 fast_math=self.use_fast_math,

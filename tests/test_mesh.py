@@ -21,8 +21,12 @@ from armon_tpu.core.state import COMM_VARS
 from armon_tpu.io.output import read_reference_csv, compare_states
 
 # Process-grid matrix in the spirit of the reference (`test/mpi.jl:464-475`),
-# restricted to grids that fit the 8 virtual devices and divide 100 evenly.
-MESHES = [(1, 2), (2, 1), (2, 2), (4, 2), (2, 4), (1, 4), (4, 1)]
+# restricted to grids that fit the 8 virtual devices. The grids that do not
+# divide 100 evenly ((3,1), (1,3), (3,2)) exercise the uneven-split path:
+# ceil-split shards with dead slack on the hi-edge shard, the analog of the
+# reference's remainder-to-edge-ranks rule (`src/parameters.jl:673-697`).
+MESHES = [(1, 2), (2, 1), (2, 2), (4, 2), (2, 4), (1, 4), (4, 1),
+          (3, 1), (1, 3), (3, 2)]
 
 
 def run(params):
@@ -53,7 +57,8 @@ def test_sharded_matches_single_device(P):
         assert np.array_equal(a, b), f"{var} differs on mesh {P}"
 
 
-@pytest.mark.parametrize("P", [(2, 2), (4, 2)], ids=lambda p: f"{p[0]}x{p[1]}")
+@pytest.mark.parametrize("P", [(2, 2), (4, 2), (3, 2)],
+                         ids=lambda p: f"{p[0]}x{p[1]}")
 def test_sharded_against_golden(P):
     """Sharded run vs the sequential golden CSV — the analog of the
     sub-domain golden comparison (`test/mpi.jl:48-110`)."""
@@ -176,6 +181,35 @@ def test_scatter_gather_roundtrip():
         a = np.asarray(jax.device_get(getattr(state, var)))
         b = np.asarray(jax.device_get(getattr(back, var)))
         assert np.array_equal(a, b), var
+
+
+def test_uneven_roundtrip():
+    """Scatter/gather consistency for an uneven split: the real+ghost
+    window must survive a gather -> scatter -> gather roundtrip (the dead
+    slack cells are not preserved by design)."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+    from armon_tpu.core.solver import host_to_device
+    params = reference_params("Sod_circ", np.float64, N=(50, 50), P=(3, 2))
+    state = make_init(params)()
+    host = gather_state(params, state)
+    back = gather_state(params, host_to_device(params, host))
+    for var in ("rho", "u", "v", "E", "x", "y"):
+        a = np.asarray(getattr(host, var))
+        b = np.asarray(getattr(back, var))
+        assert np.array_equal(a, b), var
+
+
+def test_uneven_split_shapes():
+    """ceil-split bookkeeping: n_local/n_edge like the reference's
+    remainder-to-edge rule (`src/parameters.jl:673-697`)."""
+    p = reference_params("Sod", np.float64, N=(100, 100), P=(3, 2))
+    assert p.n_local == (34, 50) and p.n_edge == (32, 50)
+    cfg = p.config
+    assert cfg.uneven(Axis.X) and not cfg.uneven(Axis.Y)
+    with pytest.raises(Exception):
+        # too small to split: edge shard would own < nghost cells
+        reference_params("Sod", np.float64, N=(9, 9), P=(4, 1)).config
 
 
 def test_dryrun_entry():

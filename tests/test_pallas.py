@@ -81,7 +81,8 @@ def test_pallas_sweep_equivalence():
         assert float(dtmin) == ref_min
 
 
-@pytest.mark.parametrize("P", [(2, 2), (4, 1)], ids=lambda p: f"{p[0]}x{p[1]}")
+@pytest.mark.parametrize("P", [(2, 2), (4, 1), (3, 2)],
+                         ids=lambda p: f"{p[0]}x{p[1]}")
 def test_pallas_sharded_matches_single(P):
     """Fused tier on a device mesh == fused tier single-device."""
     if len(jax.devices()) < P[0] * P[1]:

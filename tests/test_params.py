@@ -44,9 +44,11 @@ def test_invalid_names():
 
 def test_mesh_split_validation():
     p = ArmonParameters(test="Sod", N=(100, 100), P=(2, 2))
-    assert p.n_local == (50, 50)
-    with pytest.raises(SolverException, match="divide evenly"):
-        ArmonParameters(test="Sod", N=(101, 100), P=(2, 1))
+    assert p.n_local == (50, 50) and p.n_edge == (50, 50)
+    # Uneven splits are accepted: ceil-split shards, remainder-short edge
+    # shard (the analog of `src/parameters.jl:673-697`).
+    p = ArmonParameters(test="Sod", N=(101, 100), P=(2, 1))
+    assert p.n_local == (51, 100) and p.n_edge == (50, 100)
     with pytest.raises(SolverException, match="too small"):
         ArmonParameters(test="Sod", N=(8, 8), P=(4, 4), nghost=4)
 
