@@ -132,15 +132,26 @@ def fused_sweep_step(cfg, state, axis: Axis, dt):
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 
+def bc_in_kernel(cfg) -> bool:
+    """Single-device runs fold the mirror-BC ghost fill into the fused
+    cycle kernel (no XLA ghost-band copies on the hot path); meshes still
+    need the XLA-level ppermute exchange. nghost >= 4 so the in-kernel
+    4-wide mirror band exists."""
+    return not cfg.spmd and cfg.nghost >= 4
+
+
 def fused_cycle_step(cfg, state, pair, dt):
     """Two consecutive sweeps covering both axes in ONE kernel pass
     (`ops/pallas/sweep.py:fused_cycle`). Both ghost bands are pre-filled
-    from the pre-pair state: valid because a sweep commutes bitwise with the
+    from the pre-pair state — in-kernel on a single device, via the XLA
+    exchange on a mesh: valid because a sweep commutes bitwise with the
     orthogonal ghost fill (see the kernel docstring)."""
     from ..ops.pallas.sweep import fused_cycle
     T = np.dtype(cfg.dtype).type
-    state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
-    state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
+    in_kernel = bc_in_kernel(cfg)
+    if not in_kernel:
+        state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
+        state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
     (ax0, f0), (ax1, f1) = pair
     x_first = ax0 is Axis.X
     fx = f0 if x_first else f1
@@ -148,7 +159,7 @@ def fused_cycle_step(cfg, state, pair, dt):
     rho, u, v, E, p_stale, local_min = fused_cycle(
         cfg, x_first, state.rho, state.u, state.v, state.E,
         dt * T(fx), dt * T(fy), n_real=_shard_n_real(cfg),
-        interpret=_pallas_interpret(cfg))
+        bc_in_kernel=in_kernel, interpret=_pallas_interpret(cfg))
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 
@@ -192,46 +203,6 @@ def solver_cycle_fused(cfg, state, dt_prev, cycle, local_min):
         # (the reference's one-cycle-early Iallreduce, src/reductions.jl:117-125).
         new_min = lax.pmin(new_min, axis_name=cfg.axis_names)
     return state, dt_use, dt_next, new_min, ok
-
-
-def use_pair_mode(cfg) -> bool:
-    """Temporal blocking (two cycles per kernel pass) applies when: fused
-    tier active, nghost == 8 (one evolved cycle + one stencil of ghost
-    depth), a 2-sweep splitting, and a single device (global-border re-fill
-    happens in-kernel; interior mesh halos would need remote DMA)."""
-    return (use_fused_tier(cfg) and getattr(cfg, "fuse_cycles", 1) == 2
-            and cfg.nghost == 8 and not cfg.spmd
-            and cfg.splitting in ("Sequential", "Godunov"))
-
-
-def solver_pair_fused(cfg, state, dt_prev, cycle, local_min):
-    """TWO cycles through the temporally-blocked kernel. The dt recurrence
-    needs only CFL minima already known a pair ahead:
-    dt(k+1) = f(local_min at start of k) is computed before launch, and the
-    kernel emits the mid-pair and final minima for the next pair.
-    `cycle` is always even here (pairs start the run; the single-cycle tail
-    finishes odd remainders). Returns (state, dt_used_sum, dt_next,
-    new_local_min, ok)."""
-    from ..ops.pallas.sweep import fused_pair
-    T = np.dtype(cfg.dtype).type
-    dt1, dt2, ok1 = dt_update(cfg, local_min, dt_prev, cycle, reduce=False)
-
-    state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
-    state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
-
-    even, odd = split_schedules(cfg.splitting)
-    # pairs start at even cycles: cycle k uses the even schedule, k+1 the odd
-    orders = (even[0][0] is Axis.X, odd[0][0] is Axis.X)
-    dts = (dt1 * T(1.0), dt1 * T(1.0), dt2 * T(1.0), dt2 * T(1.0))
-
-    rho, u, v, E, p_stale, lm_mid, lm_final = fused_pair(
-        cfg, orders, state.rho, state.u, state.v, state.E, dts,
-        interpret=_pallas_interpret(cfg))
-    state = state._replace(rho=rho, u=u, v=v, E=E, p=p_stale)
-
-    # dt for cycle k+2 from the mid-pair minimum
-    _, dt3, ok2 = dt_update(cfg, lm_mid, dt2, cycle + 1, reduce=False)
-    return state, dt1, dt2, dt3, lm_final, ok1 & ok2
 
 
 def make_time_loop(cfg, restore=False):
@@ -299,32 +270,6 @@ def make_time_loop(cfg, restore=False):
             # them halves HBM pressure at capacity-limit grid sizes.
             fs = FusedCarry(state.rho, state.u, state.v, state.E, state.p)
             carry = (fs, t0, cycle0, dt0, local0, jnp.asarray(True))
-
-            if use_pair_mode(cfg):
-                # Temporal-blocking accelerator: run PAIRS of cycles while
-                # two full cycles are certainly allowed (both time steps are
-                # known in advance); the single-cycle loop below finishes
-                # any remainder with identical numerics.
-                def cond_pair(carry):
-                    _, t, cycle, dt_prev, lm, ok = carry
-                    dt1, _, okc = dt_update(cfg, lm, dt_prev, cycle,
-                                            reduce=False)
-                    # pairs only run from even cycles (the kernel's sweep
-                    # orders assume it; a restore may resume at an odd one,
-                    # which then runs entirely in the single-cycle loop)
-                    return (ok & okc & (cycle % 2 == 0)
-                            & (t < maxtime) & (cycle < maxcycle)
-                            & (t + dt1 < maxtime) & (cycle + 1 < maxcycle))
-
-                def body_pair(carry):
-                    fs, t, cycle, dt_prev, lm, _ = carry
-                    fs, dt1, dt2, dt_next, lm, ok = solver_pair_fused(
-                        cfg, fs, dt_prev, cycle, lm)
-                    # accumulate exactly like the sequential loop: (t+dt1)+dt2
-                    return (fs, (t + dt1) + dt2, cycle + 2, dt_next, lm, ok)
-
-                carry = lax.while_loop(cond_pair, body_pair, carry)
-
             fs, t, cycles, dt_last, lm, ok = lax.while_loop(cond, body, carry)
             state = state._replace(rho=fs.rho, u=fs.u, v=fs.v, E=fs.E, p=fs.p)
         else:

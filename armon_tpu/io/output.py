@@ -25,15 +25,10 @@ def saved_vars_arrays(cfg, state: State, with_ghosts=False):
     return out
 
 
-def write_state_file(cfg, state: State, path, precision=None, with_ghosts=False,
-                     for_3d=True, extra_header=None):
-    """Write rows of `x, y, rho, u, v, p` with a blank line between Y rows
-    (`src/io.jl:4-27`). `extra_header` (e.g. "dt, cycles") is written first
-    when given (`reference_functions.jl:41`)."""
-    if precision is None:
-        precision = 17 if np.dtype(cfg.dtype).itemsize == 8 else 9
-    arrs = saved_vars_arrays(cfg, state, with_ghosts)
-
+def write_cells_file(path, arrs: dict, precision, for_3d=True,
+                     extra_header=None):
+    """Write a dict of (rows, cols) saved-var arrays as a pm3d CSV
+    (`src/io.jl:4-27` row format)."""
     # Native fast path (byte-identical C printf formatting)
     from . import native
     if native.write_cells(path, [arrs[v] for v in SAVED_VARS], precision,
@@ -51,6 +46,18 @@ def write_state_file(cfg, state: State, path, precision=None, with_ghosts=False,
             for i in range(cols):
                 f.write(fmt % tuple(arrs[v][j, i] for v in SAVED_VARS))
                 f.write("\n")
+
+
+def write_state_file(cfg, state: State, path, precision=None, with_ghosts=False,
+                     for_3d=True, extra_header=None):
+    """Write rows of `x, y, rho, u, v, p` with a blank line between Y rows
+    (`src/io.jl:4-27`). `extra_header` (e.g. "dt, cycles") is written first
+    when given (`reference_functions.jl:41`)."""
+    if precision is None:
+        precision = 17 if np.dtype(cfg.dtype).itemsize == 8 else 9
+    arrs = saved_vars_arrays(cfg, state, with_ghosts)
+    write_cells_file(path, arrs, precision, for_3d=for_3d,
+                     extra_header=extra_header)
 
 
 def _read_rows(path, dtype, skip_header=False, expected_cells=None):

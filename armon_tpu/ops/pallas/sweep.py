@@ -14,8 +14,16 @@ One kernel instance executes the WHOLE sweep for its tile in VMEM:
     (+ the CFL dt per-tile min-reduction of `src/reductions.jl:2-20`)
 
 so per sweep each field crosses HBM once (read rho,u,v,E + write
-rho,u,v,E,p) instead of once per kernel. Ghost-band filling (mirror BC /
-mesh halo exchange) stays outside in XLA: it touches O(boundary) cells.
+rho,u,v,E,p) instead of once per kernel. Ghost-band filling: on a single
+device the mirror BC is applied IN-KERNEL on the loaded tiles
+(`_border_refill`, zero XLA ops on the hot path); on a device mesh the
+halo exchange (ppermute) stays outside in XLA.
+
+Temporal blocking (two cycles per pass) was implemented and benched in
+round 1 (+5% at mid sizes, loses at 8192²) and removed: the kernel is
+VPU-bound ~4.4x below the measured ~480 GB/s streaming ceiling
+(scripts/perf_probe.py), so trading HBM traffic for extra halo compute
+can never pay on this part.
 
 Tiling:
 - X sweep: tiles of TILE_R full-width rows; rows are independent (the sweep
@@ -446,7 +454,8 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
 
 # ------------------------------------------------- fully-fused cycle kernel
 
-def _cycle_kernel(cfg, chunk, x_first, interp, dtx_ref, dty_ref, lim_ref,
+def _cycle_kernel(cfg, chunk, x_first, bc_in_kernel, nci, rows_tot, interp,
+                  dtx_ref, dty_ref, lim_ref,
                   rho_c, rho_a, rho_b, u_c, u_a, u_b,
                   v_c, v_a, v_b, E_c, E_a, E_b,
                   rho_o, u_o, v_o, E_o, p_o, dtmin_o):
@@ -475,6 +484,14 @@ def _cycle_kernel(cfg, chunk, x_first, interp, dtx_ref, dty_ref, lim_ref,
     u = halo_cat(u_c[:], u_a[:], u_b[:])
     v = halo_cat(v_c[:], v_a[:], v_b[:])
     E = halo_cat(E_c[:], E_a[:], E_b[:])
+
+    if bc_in_kernel:
+        # Single-device path: the mirror-BC ghost fill happens here, on the
+        # loaded tile, instead of as XLA ops between kernel launches (which
+        # cost full-array ghost-band update copies per cycle). Bitwise
+        # identical to the XLA fill for every consumed value.
+        rho, u, v, E = _border_refill(cfg, ci, nci, chunk, rows_tot,
+                                      (rho, u, v, E), hbuf=4)
 
     def shx(a, k):
         # np.int32: under jax_enable_x64 a bare int becomes an i64
@@ -509,12 +526,15 @@ def _cycle_kernel(cfg, chunk, x_first, interp, dtx_ref, dty_ref, lim_ref,
     dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "x_first", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "x_first", "bc_in_kernel",
+                                             "interpret"))
 def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
-                interpret=False):
+                bc_in_kernel=False, interpret=False):
     """One full cycle (two sweeps) in a single fused kernel pass.
-    BOTH ghost bands of rho/u/v/E must be pre-filled from the pre-cycle
-    state. Returns (rho, u, v, E, p_stale, local_dt_min). `n_real` = this
+    With `bc_in_kernel` (single-device only, nghost >= 4) the kernel applies
+    the mirror BC to its input tiles itself; otherwise BOTH ghost bands of
+    rho/u/v/E must be pre-filled from the pre-cycle state.
+    Returns (rho, u, v, E, p_stale, local_dt_min). `n_real` = this
     shard's (nx, ny) real extent (traced; defaults to cfg.n_local)."""
     rows, cols = rho.shape
     dtx = jnp.asarray(dt_x, cfg.dtype).reshape(1, 1)
@@ -522,9 +542,12 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
     if n_real is None:
         n_real = jnp.asarray(cfg.n_local, jnp.int32)
     lim_arr = jnp.asarray(n_real, jnp.int32).reshape(1, 2)
-    from ...parallel.blocking import VMEM_BUDGET, cycle_chunk_rows
+    from ...parallel.blocking import (VMEM_BUDGET, cycle_chunk_rows,
+                                      cycle_safe_chunk)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
     chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize)
+    if bc_in_kernel:
+        chunk = cycle_safe_chunk(rows, chunk, cfg.nghost)
     halo_blk = 8
     nci = pl.cdiv(rows, chunk)
     grid = (nci,)
@@ -551,7 +574,8 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
         in_specs += [cur, above, below]
         args += [a, a, a]
 
-    kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first, interpret)
+    kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first,
+                               bc_in_kernel, int(nci), rows, interpret)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -570,22 +594,26 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
 
 # -------------------------------------------- temporally-blocked pair kernel
 
-def _mid_boundary_refill(cfg, ci, nci, chunk, rows_tot, fields):
-    """In-kernel ghost re-fill between the two fused cycles.
+def _border_refill(cfg, ci, nci, chunk, rows_tot, fields, hbuf):
+    """In-kernel ghost (mirror BC) fill of the 4 innermost ghost cells per
+    side — the exact values `ops.boundary.boundary_conditions` would write
+    (`src/halo_exchange.jl:2-36`); only the innermost `stencil depth = 4`
+    cells of the band are ever consumed, so filling those is bitwise
+    equivalent to the XLA-level g-deep fill for every consumed value.
 
-    Interior (device/tile) halos evolve exactly under cycle 1 — the kernel
-    computes the same row-local math the neighbour does on the same data.
-    Only the GLOBAL borders need the reference's BC re-applied to the
-    mid-pair state (mirror/copy of the 4 real rows/cols nearest the wall):
-    the Dirichlet mirror is an exact symmetry of the scheme, but the
-    FreeFlow copy is not, so evolved ghost values must be replaced.
-    `fields` = (rho, u, v, E) mid-state buffers of shape (chunk+16, W).
-    Requires nghost == 8 (depth for one evolved cycle + one stencil).
-    """
+    Runs at the top of the single-device cycle kernel, which moves the
+    whole ghost fill off the XLA hot path (no full-array ghost-band update
+    copies between kernel launches).
+
+    `fields` = (rho, u, v, E) buffers of shape (chunk + 2*hbuf, W);
+    `hbuf` = halo depth of the buffer (4 for the cycle kernel).
+    Requires nghost >= 4 and row-chunking such that the border bands and
+    their consumers live in the first/last tile
+    (`parallel.blocking.cycle_safe_chunk`)."""
     from ...utils.enums import Side
     T = np.dtype(cfg.dtype).type
-    g = cfg.nghost  # == 8
-    H2 = 8
+    g = cfg.nghost
+    H2 = hbuf
     W = fields[0].shape[1]
 
     def flip4(a, axis, start):
@@ -623,6 +651,7 @@ def _mid_boundary_refill(cfg, ci, nci, chunk, rows_tot, fields):
                 [a[:H2 + g - 4], band, a[H2 + g:]], 0))
         return tuple(out)
 
+
     def fix_top(fs):
         S = (nci - 1) * chunk
         top0 = rows_tot - g - S + H2      # buffer row of global row rows_tot-g
@@ -637,133 +666,3 @@ def _mid_boundary_refill(cfg, ci, nci, chunk, rows_tot, fields):
     fields = jax.lax.cond(ci == nci - 1, fix_top, lambda fs: tuple(fs),
                           tuple(fields))
     return fields
-
-
-def _pair_kernel(cfg, chunk, nci, rows_tot, orders, interp,
-                 dt_ref,
-                 rho_c, rho_a, rho_b, u_c, u_a, u_b,
-                 v_c, v_a, v_b, E_c, E_a, E_b,
-                 rho_o, u_o, v_o, E_o, p_o, dtmin_mid_o, dtmin_o):
-    """TWO full cycles per tile in VMEM ("temporal blocking"): halves the
-    HBM traffic again relative to the fused single-cycle kernel. The four
-    per-sweep time steps arrive precomputed (the dt recurrence only needs
-    CFL minima that are already known one pair ahead)."""
-    T = np.dtype(cfg.dtype).type
-    dts = [dt_ref[0, k] for k in range(4)]  # dtx1, dty1, dtx2, dty2
-    ci = pl.program_id(0)
-    H2 = 8
-    div = _make_div(cfg, interp)
-
-    def halo_cat(cur, above, below):
-        return jnp.concatenate([above[:], cur, below[:]], 0)
-
-    rho = halo_cat(rho_c[:], rho_a[:], rho_b[:])
-    u = halo_cat(u_c[:], u_a[:], u_b[:])
-    v = halo_cat(v_c[:], v_a[:], v_b[:])
-    E = halo_cat(E_c[:], E_a[:], E_b[:])
-
-    def shx(a, k):
-        # np.int32: under jax_enable_x64 a bare int becomes an i64
-        # operand, which tpu.dynamic_rotate rejects
-        return pltpu.roll(a, np.int32((-k) % a.shape[1]), 1) if k else a
-
-    def shy(a, k):
-        return pltpu.roll(a, np.int32((-k) % a.shape[0]), 0) if k else a
-
-    def one_cycle(x_first, dtx, dty, rho, u, v, E):
-        if x_first:
-            rho, u, v, E, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
-                                             rho, u, v, E, div)
-            rho, v, u, E, p_st, c_st = _sweep_math(cfg, shy, dty, T(cfg.dy),
-                                                   rho, v, u, E, div)
-        else:
-            rho, v, u, E, _, _ = _sweep_math(cfg, shy, dty, T(cfg.dy),
-                                             rho, v, u, E, div)
-            rho, u, v, E, p_st, c_st = _sweep_math(cfg, shx, dtx, T(cfg.dx),
-                                                   rho, u, v, E, div)
-        return rho, u, v, E, p_st, c_st
-
-    # ---- cycle k
-    rho1, u1, v1, E1, _, c_mid = one_cycle(orders[0], dts[0], dts[1],
-                                           rho, u, v, E)
-
-    sl = slice(H2, H2 + chunk)
-
-    @pl.when(ci == 0)
-    def _():
-        dtmin_mid_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
-        dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
-
-    m_mid = _dt_tile_min(cfg, T, u1[sl], v1[sl], c_mid[sl], ci * chunk, 0)
-    dtmin_mid_o[:] = jnp.minimum(dtmin_mid_o[:], m_mid)
-
-    # ---- reference BC applied to the mid state at the global borders
-    rho1, u1, v1, E1 = _mid_boundary_refill(
-        cfg, ci, nci, chunk, rows_tot, (rho1, u1, v1, E1))
-
-    # ---- cycle k+1
-    rho2, u2, v2, E2, p_st, c_st = one_cycle(orders[1], dts[2], dts[3],
-                                             rho1, u1, v1, E1)
-
-    rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
-        rho2[sl], u2[sl], v2[sl], E2[sl], p_st[sl]
-
-    m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], ci * chunk, 0)
-    dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "orders", "interpret"))
-def fused_pair(cfg, orders, rho, u, v, E, dts, interpret=False):
-    """Run TWO cycles in one kernel pass. `orders` = (x_first_cycle1,
-    x_first_cycle2); `dts` = (dtx1, dty1, dtx2, dty2) already scaled.
-    BOTH ghost bands (nghost == 8 deep) must be pre-filled.
-    Returns (rho, u, v, E, p_stale, dtmin_mid, dtmin_final)."""
-    assert cfg.nghost == 8, "temporal blocking requires nghost == 8"
-    rows, cols = rho.shape
-    dt_arr = jnp.stack([jnp.asarray(d, cfg.dtype) for d in dts]).reshape(1, 4)
-
-    from ...parallel.blocking import VMEM_BUDGET, pair_chunk_rows
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
-    chunk = pair_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize,
-                            getattr(cfg, "block_size", None))
-    halo_blk = 8
-    nci = pl.cdiv(rows, chunk)
-    grid = (nci,)
-
-    cur = pl.BlockSpec((chunk, cols), lambda i: _im(i, 0),
-                       memory_space=pltpu.VMEM)
-    blocks_tot = max(pl.cdiv(rows, halo_blk), 1)  # counts a ragged tail block
-
-    def above_map(i):
-        return _im(jnp.maximum(i * (chunk // halo_blk) - 1, 0), 0)
-
-    def below_map(i):
-        return _im(jnp.minimum((i + 1) * (chunk // halo_blk), blocks_tot - 1), 0)
-
-    above = pl.BlockSpec((halo_blk, cols), above_map, memory_space=pltpu.VMEM)
-    below = pl.BlockSpec((halo_blk, cols), below_map, memory_space=pltpu.VMEM)
-
-    smem = pl.BlockSpec((1, 4), lambda i: _im(0, 0), memory_space=pltpu.SMEM)
-    in_specs = [smem]
-    args = [dt_arr]
-    for a in (rho, u, v, E):
-        in_specs += [cur, above, below]
-        args += [a, a, a]
-
-    kernel = functools.partial(_pair_kernel, cfg, chunk, nci, rows,
-                               orders, interpret)
-    acc = pl.BlockSpec((8, 128), lambda i: _im(0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[cur] * 5 + [acc, acc],
-        out_shape=[jax.ShapeDtypeStruct((rows, cols), cfg.dtype)] * 5 + [
-            jax.ShapeDtypeStruct((8, 128), cfg.dtype)] * 2,
-        compiler_params=cparams,
-        interpret=interpret,
-    )(*args)
-
-    rho2, u2, v2, E2, p_st, mid_tiles, dt_tiles = out
-    return rho2, u2, v2, E2, p_st, jnp.min(mid_tiles), jnp.min(dt_tiles)

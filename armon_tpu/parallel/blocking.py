@@ -91,6 +91,22 @@ def cycle_chunk_rows(rows: int, cols: int, itemsize: int) -> int:
     return min(chunk, 256)
 
 
+def cycle_safe_chunk(rows: int, chunk: int, nghost: int) -> int:
+    """Chunk height for the cycle kernel with IN-KERNEL boundary fill: the
+    4 innermost ghost rows per side AND every real row whose stencil reads
+    them must land in the first/last tile. Bottom needs chunk >= nghost+4;
+    top needs the tail (rows % chunk, or chunk when it divides) >= nghost+4."""
+    need = nghost + 4
+    chunk = max(need, min(chunk, _round_up(rows, 8)))
+    c = chunk
+    while c >= need:
+        rem = rows % c
+        if rem == 0 or rem >= need:
+            return c
+        c -= 8
+    return _round_up(rows, 8)  # single chunk
+
+
 def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
                     n_fields: int = 11, comm_vars: int = 7) -> dict:
     """Exact byte accounting per device
@@ -107,32 +123,3 @@ def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
     }
 
 
-def _pair_safe_chunk(rows: int, chunk: int) -> int:
-    """The pair kernel's mid-cycle boundary refill runs only inside the
-    first/last chunk's VMEM buffer; a short tail chunk (< 16 rows) would
-    leave the top ghost band unrefilled in the previous chunk's halo copy.
-    Shrink the chunk until the tail is empty or >= 16 rows."""
-    chunk = max(16, min(chunk, _round_up(rows, 8)))
-    c = chunk
-    while c >= 16:
-        rem = rows % c
-        if rem == 0 or rem >= 16:
-            return c
-        c -= 8
-    return _round_up(rows, 8)  # single chunk
-
-
-def pair_chunk_rows(rows: int, cols: int, itemsize: int,
-                    block_size=None) -> int:
-    """Row-chunk height for the two-cycle (temporally blocked) kernel:
-    (chunk + 16)-row full-width buffers. `block_size[1]` overrides (cache-
-    block option parity, clamped to alignment and tail safety)."""
-    if block_size is not None:
-        return _pair_safe_chunk(rows, _round_up(min(block_size[1], rows), 8))
-    if rows <= 144:
-        return _round_up(rows, 8)
-    # Calibrated on the dev chip: Mosaic's peak is ~55 live full-width
-    # buffers for the two-cycle body (chunk=48 at 8208 lanes OOMs, 32 fits).
-    per_row = cols * 55 * itemsize
-    chunk = ((VMEM_BUDGET // per_row - 16) // 8) * 8
-    return _pair_safe_chunk(rows, min(chunk, 256))

@@ -183,16 +183,6 @@ class ArmonParameters:
         self.kernel_tier = str(o.pop("kernel_tier", "auto"))
         if self.kernel_tier not in ("jnp", "pallas", "auto"):
             solver_error("config", f"Unknown kernel_tier: '{self.kernel_tier}'")
-        # fuse_cycles: temporal blocking — 2 = two cycles per fused kernel
-        # pass (auto-raises nghost to 8; pallas tier, single device,
-        # Sequential/Godunov splitting). Bit-identical numerics.
-        self.fuse_cycles = int(o.pop("fuse_cycles", 1))
-        if self.fuse_cycles not in (1, 2):
-            solver_error("config", f"fuse_cycles must be 1 or 2, got {self.fuse_cycles}")
-        if self.fuse_cycles == 2:
-            if self.kernel_tier not in ("pallas", "auto"):
-                solver_error("config", "fuse_cycles=2 requires kernel_tier='pallas'")
-            self.nghost = max(self.nghost, 8)
         # use_fast_math: the reference's build preference
         # (src/generic_kernel.jl:3, default true there — and here). Affects
         # only compiled f32 Pallas kernels (NR-refined reciprocal divides,
@@ -290,7 +280,6 @@ class ArmonParameters:
                 kernel_tier=self.kernel_tier,
                 block_size=tuple(self.block_size) if self.block_size else None,
                 fast_math=self.use_fast_math,
-                fuse_cycles=self.fuse_cycles,
             )
         return self._config
 

@@ -36,7 +36,7 @@ from armon_tpu.ops.pallas.sweep import _sweep_math, _make_div, _im, _dt_tile_min
 from armon_tpu.parallel.blocking import VMEM_BUDGET, cycle_chunk_rows
 
 
-def variant_kernel(cfg, chunk, write_p, do_dtmin, stream_only,
+def variant_kernel(cfg, chunk, write_p, do_dtmin, stream_only, no_roll,
                    dtx_ref, dty_ref,
                    rho_c, rho_a, rho_b, u_c, u_a, u_b,
                    v_c, v_a, v_b, E_c, E_a, E_b,
@@ -66,11 +66,20 @@ def variant_kernel(cfg, chunk, write_p, do_dtmin, stream_only,
     v = halo_cat(v_c[:], v_a[:], v_b[:])
     E = halo_cat(E_c[:], E_a[:], E_b[:])
 
-    def shx(a, k):
-        return pltpu.roll(a, np.int32((-k) % a.shape[1]), 1) if k else a
+    if no_roll:
+        # WRONG numerics — measures the roll (shift) share of VPU time by
+        # replacing every shifted read with an unshifted one.
+        def shx(a, k):
+            return a * (1 + 1e-7 * k) if k else a
 
-    def shy(a, k):
-        return pltpu.roll(a, np.int32((-k) % a.shape[0]), 0) if k else a
+        def shy(a, k):
+            return a * (1 + 1e-7 * k) if k else a
+    else:
+        def shx(a, k):
+            return pltpu.roll(a, np.int32((-k) % a.shape[1]), 1) if k else a
+
+        def shy(a, k):
+            return pltpu.roll(a, np.int32((-k) % a.shape[0]), 0) if k else a
 
     div = _make_div(cfg, False)
     rho1, u1, v1, E1, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
@@ -100,8 +109,10 @@ def variant_kernel(cfg, chunk, write_p, do_dtmin, stream_only,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "write_p",
-                                             "do_dtmin", "stream_only"))
-def run_variant(cfg, chunk, write_p, do_dtmin, stream_only, rho, u, v, E, dtx, dty):
+                                             "do_dtmin", "stream_only",
+                                             "no_roll"))
+def run_variant(cfg, chunk, write_p, do_dtmin, stream_only, no_roll,
+                rho, u, v, E, dtx, dty):
     rows, cols = rho.shape
     dtx = jnp.asarray(dtx, cfg.dtype).reshape(1, 1)
     dty = jnp.asarray(dty, cfg.dtype).reshape(1, 1)
@@ -131,7 +142,7 @@ def run_variant(cfg, chunk, write_p, do_dtmin, stream_only, rho, u, v, E, dtx, d
 
     n_out = (5 if write_p else 4) if not stream_only else 5
     kernel = functools.partial(variant_kernel, cfg, chunk, write_p, do_dtmin,
-                               stream_only)
+                               stream_only, no_roll)
     out = pl.pallas_call(
         kernel,
         grid=(nci,),
@@ -151,7 +162,7 @@ def time_variant(cfg, fields, n, label, reps=30, **kw):
     dt = cfg.dtype.type(1e-5)
     out = run_variant(cfg, kw.pop("chunk"), kw.pop("write_p", True),
                       kw.pop("do_dtmin", True), kw.pop("stream_only", False),
-                      rho, u, v, E, dt, dt)
+                      kw.pop("no_roll", False), rho, u, v, E, dt, dt)
     _ = float(np.asarray(out[-1][0, 0]))  # sync (block_until_ready is a no-op on axon)
     best = float("inf")
     for _r in range(3):
@@ -173,7 +184,7 @@ def run_variant_cached(cfg, label, rho, u, v, E, dt):
     kw = _VARIANTS[label]
     return run_variant(cfg, kw.get("chunk"), kw.get("write_p", True),
                        kw.get("do_dtmin", True), kw.get("stream_only", False),
-                       rho, u, v, E, dt, dt)
+                       kw.get("no_roll", False), rho, u, v, E, dt, dt)
 
 
 def main():
@@ -184,6 +195,10 @@ def main():
                                  riemann_limiter="minmod", nghost=4,
                                  maxcycle=1, silent=5, measure_time=False)
         cfg = params.config
+        cfg_god = ArmonParameters(
+            test="Sod", N=(n, n), data_type=np.float32, scheme="Godunov",
+            projection="euler", nghost=4, maxcycle=1, silent=5,
+            measure_time=False).config
         rows, cols = cfg.local_shape
         chunk0 = cycle_chunk_rows(rows, cols, 4)
         key = jax.random.PRNGKey(0)
@@ -201,16 +216,11 @@ def main():
         global _VARIANTS
         _VARIANTS = {
             "base": dict(chunk=chunk0),
+            "no_roll": dict(chunk=chunk0, no_roll=True),
             "no_p": dict(chunk=chunk0, write_p=False),
             "no_dt": dict(chunk=chunk0, do_dtmin=False),
-            "no_p_no_dt": dict(chunk=chunk0, write_p=False, do_dtmin=False),
             "stream": dict(chunk=chunk0, stream_only=True),
         }
-        for c in (16, 32, 64, 128, 256):
-            if c != chunk0 and c <= rows:
-                per_row = cols * 25 * 4
-                if (c + 16) * per_row // 25 * 25 < VMEM_BUDGET:
-                    _VARIANTS[f"chunk={c}"] = dict(chunk=c)
 
         for label in _VARIANTS:
             try:
@@ -221,6 +231,14 @@ def main():
                 print(f"  {'':24s} ~{gbs:6.1f} GB/s effective")
             except Exception as e:
                 print(f"  {label:24s} FAILED: {type(e).__name__}: {str(e)[:200]}")
+
+        # 1st-order scheme (Godunov + euler): the GAD/euler_2nd extra cost
+        _VARIANTS = {"first_order": dict(chunk=chunk0)}
+        try:
+            time_variant(cfg_god, fields, n, "first_order",
+                         **dict(_VARIANTS["first_order"]))
+        except Exception as e:
+            print(f"  first_order FAILED: {type(e).__name__}: {str(e)[:200]}")
 
 
 if __name__ == "__main__":

@@ -4,7 +4,6 @@ The pytest suite runs on the CPU backend (virtual mesh, interpret-mode
 Pallas). This script validates the *compiled Mosaic* path on a real TPU:
 
   1. f32 Sod golden regression, auto tier (fused kernels)   -> zero diffs
-  2. same with fuse_cycles=2 (temporal blocking)            -> zero diffs
   3. ragged-height run stays finite/physical
   4. f64 run (jnp fallback) matches the f64 golden gates
   5. throughput sanity at 2048^2
@@ -57,9 +56,6 @@ def main():
     f32tol = (1e-5, 20 * np.finfo(np.float32).eps)
     ok, d = golden(np.float32, 32, *f32tol)
     check("f32 golden (auto tier, compiled Mosaic)", ok, d)
-
-    ok, d = golden(np.float32, 32, *f32tol, fuse_cycles=2)
-    check("f32 golden (temporal blocking)", ok, d)
 
     p = ArmonParameters(test="Sod", N=(100, 101), data_type=np.float32,
                         maxcycle=1000, silent=5, measure_time=False,
