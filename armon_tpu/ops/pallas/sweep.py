@@ -219,28 +219,44 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None):
             sgn = jnp.sign(du_p)
             return sgn * jnp.maximum(0.0, jnp.minimum(sgn * du_p, sgn * du_m))
 
+        # Upwind select commutes exactly with the product (same mask both
+        # factors; shifts are permutations): form the conserved products
+        # once, then shift — bitwise identical, 6 fewer multiplies.
+        ru1, rv1, rE1 = rho1 * uax1, rho1 * uot, rho1 * E1
         rr_m, rr_i, rr_p = rd(rho1, -1), rd(rho1, 0), rd(rho1, 1)
-        uu_m, uu_i, uu_p = rd(uax1, -1), rd(uax1, 0), rd(uax1, 1)
-        vv_m, vv_i, vv_p = rd(uot, -1), rd(uot, 0), rd(uot, 1)
-        EE_m, EE_i, EE_p = rd(E1, -1), rd(E1, 0), rd(E1, 1)
+        ru_m, ru_i, ru_p = rd(ru1, -1), rd(ru1, 0), rd(ru1, 1)
+        rv_m, rv_i, rv_p = rd(rv1, -1), rd(rv1, 0), rd(rv1, 1)
+        rE_m, rE_i, rE_p = rd(rE1, -1), rd(rE1, 0), rd(rE1, 1)
 
         sl_rho = slope(rr_m, rr_i, rr_p)
-        sl_ur = slope(rr_m * uu_m, rr_i * uu_i, rr_p * uu_p)
-        sl_vr = slope(rr_m * vv_m, rr_i * vv_i, rr_p * vv_p)
-        sl_Er = slope(rr_m * EE_m, rr_i * EE_i, rr_p * EE_p)
+        sl_ur = slope(ru_m, ru_i, ru_p)
+        sl_vr = slope(rv_m, rv_i, rv_p)
+        sl_Er = slope(rE_m, rE_i, rE_p)
 
         lf = div(dxe, 2 * dxl)
         adv_rho = disp * (rr_i - sl_rho * lf)
-        adv_ur = disp * (rr_i * uu_i - sl_ur * lf)
-        adv_vr = disp * (rr_i * vv_i - sl_vr * lf)
-        adv_Er = disp * (rr_i * EE_i - sl_Er * lf)
+        adv_ur = disp * (ru_i - sl_ur * lf)
+        adv_vr = disp * (rv_i - sl_vr * lf)
+        adv_Er = disp * (rE_i - sl_Er * lf)
 
     # ---- Projection (src/projection_schemes.jl:23-41)
+    if div is _EXACT_DIV:
+        def div_dx(a):
+            return a / dx
+    else:
+        # fast_math: dx is a trace-time constant — one exact host-side
+        # reciprocal, then multiplies (<= 1 ulp; exact when dx is a power
+        # of two, e.g. any 2^k grid over a unit domain).
+        inv_dx = T(1.0) / dx
+
+        def div_dx(a):
+            return a * inv_dx
+
     dX = dx + dt * (us_p - ustar)
-    tmp_rho = (dX * rho1 - (sh(adv_rho, 1) - adv_rho)) / dx
-    tmp_ur = (dX * rho1 * uax1 - (sh(adv_ur, 1) - adv_ur)) / dx
-    tmp_vr = (dX * rho1 * uot - (sh(adv_vr, 1) - adv_vr)) / dx
-    tmp_Er = (dX * rho1 * E1 - (sh(adv_Er, 1) - adv_Er)) / dx
+    tmp_rho = div_dx(dX * rho1 - (sh(adv_rho, 1) - adv_rho))
+    tmp_ur = div_dx(dX * rho1 * uax1 - (sh(adv_ur, 1) - adv_ur))
+    tmp_vr = div_dx(dX * rho1 * uot - (sh(adv_vr, 1) - adv_vr))
+    tmp_Er = div_dx(dX * rho1 * E1 - (sh(adv_Er, 1) - adv_Er))
 
     rho2 = tmp_rho
     uax2 = div(tmp_ur, tmp_rho)
@@ -252,8 +268,13 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None):
 # ------------------------------------------------------------------- kernels
 
 def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None):
-    """Per-tile CFL min over real cells (`src/reductions.jl:2-20`), using the
-    post-sweep velocities with the pre-sweep sound speed (see module doc).
+    """Per-tile CFL reduction over real cells (`src/reductions.jl:2-20`),
+    using the post-sweep velocities with the pre-sweep sound speed (see
+    module doc). Returns an (8, 128) block whose rows < 4 carry
+    max(|u±c|) and rows >= 4 carry max(|v±c|): the dt itself is recovered
+    by min(dx/max, dy/max) AFTER the grid reduction — bitwise identical to
+    the per-cell min(dx/..., dy/...) form (IEEE division is monotone in
+    the denominator) while removing the per-element division and min.
     `nx`/`ny` override the shard's real extent (traced, from SMEM) for
     uneven splits where the edge shard owns fewer real cells than the
     padded block (`src/parameters.jl:673-697` analog)."""
@@ -264,12 +285,23 @@ def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None):
     rows = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + col0
     real = ((rows >= g) & (rows < g + ny) & (cols >= g) & (cols < g + nx))
-    dx, dy = T(cfg.dx), T(cfg.dy)
-    dt_x = dx / jnp.maximum(jnp.abs(u_new + c_old), jnp.abs(u_new - c_old))
-    dt_y = dy / jnp.maximum(jnp.abs(v_new + c_old), jnp.abs(v_new - c_old))
-    cell = jnp.minimum(dt_x, dt_y)
-    big = T(np.finfo(cfg.dtype).max)
-    return jnp.min(jnp.where(real, cell, big))
+    zero = T(0.0)
+    mx = jnp.where(real, jnp.maximum(jnp.abs(u_new + c_old),
+                                     jnp.abs(u_new - c_old)), zero)
+    my = jnp.where(real, jnp.maximum(jnp.abs(v_new + c_old),
+                                     jnp.abs(v_new - c_old)), zero)
+    half = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) < 4
+    return jnp.where(half, jnp.max(mx), jnp.max(my))
+
+
+def _dt_from_tiles(cfg, dt_tiles):
+    """min CFL dt from the accumulated (8, 128) max block — the two scalar
+    divisions of the restructured reduction (exact IEEE: they happen once
+    per sweep, not per cell)."""
+    T = np.dtype(cfg.dtype).type
+    mx = jnp.max(dt_tiles[:4])
+    my = jnp.max(dt_tiles[4:])
+    return jnp.minimum(T(cfg.dx) / mx, T(cfg.dy) / my)
 
 
 def _x_sweep_kernel(cfg, tile_r, interp, dt_ref, lim_ref,
@@ -292,15 +324,15 @@ def _x_sweep_kernel(cfg, tile_r, interp, dt_ref, lim_ref,
                                                _make_div(cfg, interp))
     rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = rho2, u2, v2, E2, p_st
 
-    # Min-accumulate into a revisited (8, 128) VMEM block: the TPU grid runs
-    # sequentially, so the block carries the running min across tiles.
+    # Max-accumulate into a revisited (8, 128) VMEM block: the TPU grid runs
+    # sequentially, so the block carries the running CFL max across tiles.
     @pl.when(i == 0)
     def _():
-        dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
+        dtmin_o[:] = jnp.zeros((8, 128), cfg.dtype)
 
     m = _dt_tile_min(cfg, T, u2, v2, c_st, i * tile_r, 0,
                      nx=lim_ref[0, 0], ny=lim_ref[0, 1])
-    dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
+    dtmin_o[:] = jnp.maximum(dtmin_o[:], m)
 
 
 def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref, lim_ref,
@@ -338,12 +370,12 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref, lim_ref,
 
     @pl.when((ci == 0) & (cj == 0))
     def _():
-        dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
+        dtmin_o[:] = jnp.zeros((8, 128), cfg.dtype)
 
     m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl],
                      ci * chunk, cj * tile_c,
                      nx=lim_ref[0, 0], ny=lim_ref[0, 1])
-    dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
+    dtmin_o[:] = jnp.maximum(dtmin_o[:], m)
 
 
 # ------------------------------------------------------------------ wrappers
@@ -449,7 +481,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
         )(*args)
 
     rho2, u2, v2, E2, p_st, dt_tiles = out
-    return rho2, u2, v2, E2, p_st, jnp.min(dt_tiles)
+    return rho2, u2, v2, E2, p_st, _dt_from_tiles(cfg, dt_tiles)
 
 
 # ------------------------------------------------- fully-fused cycle kernel
@@ -519,11 +551,11 @@ def _cycle_kernel(cfg, chunk, x_first, bc_in_kernel, nci, rows_tot, interp,
 
     @pl.when(ci == 0)
     def _():
-        dtmin_o[:] = jnp.full((8, 128), np.finfo(cfg.dtype).max, cfg.dtype)
+        dtmin_o[:] = jnp.zeros((8, 128), cfg.dtype)
 
     m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], ci * chunk, 0,
                      nx=lim_ref[0, 0], ny=lim_ref[0, 1])
-    dtmin_o[:] = jnp.minimum(dtmin_o[:], m)
+    dtmin_o[:] = jnp.maximum(dtmin_o[:], m)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "x_first", "bc_in_kernel",
@@ -589,7 +621,7 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
     )(*args)
 
     rho2, u2, v2, E2, p_st, dt_tiles = out
-    return rho2, u2, v2, E2, p_st, jnp.min(dt_tiles)
+    return rho2, u2, v2, E2, p_st, _dt_from_tiles(cfg, dt_tiles)
 
 
 # -------------------------------------------- temporally-blocked pair kernel

@@ -64,21 +64,27 @@ def advection_second_order(cfg, state, axis: Axis, dt):
     r_m = (2 * dxl) / (dxl + dxl_m)
     r_p = (2 * dxl) / (dxl + dxl_p)
 
+    # The upwind select commutes exactly with the product (`rd` picks the
+    # same branch for both factors, and a shift is a permutation), so the
+    # conserved products are formed ONCE and shifted, instead of forming
+    # them per offset from shifted factors — bitwise identical, 6 fewer
+    # multiplies per sweep.
+    ru, rv, rE = state.rho * state.u, state.rho * state.v, state.rho * state.E
     rho_m, rho_i, rho_p = rd(state.rho, -1), rd(state.rho, 0), rd(state.rho, 1)
-    u_m, u_i, u_p = rd(state.u, -1), rd(state.u, 0), rd(state.u, 1)
-    v_m, v_i, v_p = rd(state.v, -1), rd(state.v, 0), rd(state.v, 1)
-    E_m, E_i, E_p = rd(state.E, -1), rd(state.E, 0), rd(state.E, 1)
+    ru_m, ru_i, ru_p = rd(ru, -1), rd(ru, 0), rd(ru, 1)
+    rv_m, rv_i, rv_p = rd(rv, -1), rd(rv, 0), rd(rv, 1)
+    rE_m, rE_i, rE_p = rd(rE, -1), rd(rE, 0), rd(rE, 1)
 
     sl_rho = _slope_minmod(rho_m, rho_i, rho_p, r_m, r_p)
-    sl_ur = _slope_minmod(rho_m * u_m, rho_i * u_i, rho_p * u_p, r_m, r_p)
-    sl_vr = _slope_minmod(rho_m * v_m, rho_i * v_i, rho_p * v_p, r_m, r_p)
-    sl_Er = _slope_minmod(rho_m * E_m, rho_i * E_i, rho_p * E_p, r_m, r_p)
+    sl_ur = _slope_minmod(ru_m, ru_i, ru_p, r_m, r_p)
+    sl_vr = _slope_minmod(rv_m, rv_i, rv_p, r_m, r_p)
+    sl_Er = _slope_minmod(rE_m, rE_i, rE_p, r_m, r_p)
 
     length_factor = dxe / (2 * dxl)
     adv_rho = disp * (rho_i - sl_rho * length_factor)
-    adv_ur = disp * (rho_i * u_i - sl_ur * length_factor)
-    adv_vr = disp * (rho_i * v_i - sl_vr * length_factor)
-    adv_Er = disp * (rho_i * E_i - sl_Er * length_factor)
+    adv_ur = disp * (ru_i - sl_ur * length_factor)
+    adv_vr = disp * (rv_i - sl_vr * length_factor)
+    adv_Er = disp * (rE_i - sl_Er * length_factor)
     return adv_rho, adv_ur, adv_vr, adv_Er
 
 

@@ -58,23 +58,27 @@ def _uneven(cfg):
 
 
 def dt_cfl_min(cfg, state):
-    """Minimum CFL-stable dt over the real cells (`src/reductions.jl:14-20`)."""
+    """Minimum CFL-stable dt over the real cells (`src/reductions.jl:14-20`).
+
+    Restructured as min(dx/max|u±c|, dy/max|v±c|): bitwise identical to the
+    per-cell min(dx/..., dy/...) form (IEEE division is monotone in the
+    denominator) with two divisions total instead of two per cell."""
     T = np.dtype(cfg.dtype).type
     dx, dy = T(cfg.dx), T(cfg.dy)
     if _uneven(cfg):
         # Masked form: the static slice would include the edge shard's dead
-        # slack cells (garbage, possibly NaN). `where` keeps the min exact.
+        # slack cells (garbage, possibly NaN). `where` keeps the max exact.
         u, v, c = state.u, state.v, state.c
-        dt_x = dx / jnp.maximum(jnp.abs(u + c), jnp.abs(u - c))
-        dt_y = dy / jnp.maximum(jnp.abs(v + c), jnp.abs(v - c))
-        cell = jnp.minimum(dt_x, dt_y)
-        big = T(np.finfo(cfg.dtype).max)
-        return jnp.min(jnp.where(_real_mask(cfg, u.shape), cell, big))
+        mask = _real_mask(cfg, u.shape)
+        zero = T(0.0)
+        mx = jnp.where(mask, jnp.maximum(jnp.abs(u + c), jnp.abs(u - c)), zero)
+        my = jnp.where(mask, jnp.maximum(jnp.abs(v + c), jnp.abs(v - c)), zero)
+        return jnp.minimum(dx / jnp.max(mx), dy / jnp.max(my))
     r = real_slice(cfg)
     u, v, c = state.u[r], state.v[r], state.c[r]
-    dt_x = dx / jnp.maximum(jnp.abs(u + c), jnp.abs(u - c))
-    dt_y = dy / jnp.maximum(jnp.abs(v + c), jnp.abs(v - c))
-    return jnp.min(jnp.minimum(dt_x, dt_y))
+    mx = jnp.max(jnp.maximum(jnp.abs(u + c), jnp.abs(u - c)))
+    my = jnp.max(jnp.maximum(jnp.abs(v + c), jnp.abs(v - c)))
+    return jnp.minimum(dx / mx, dy / my)
 
 
 def conservation_vars(cfg, state):

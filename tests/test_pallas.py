@@ -78,7 +78,12 @@ def test_pallas_sweep_equivalence():
 
         from armon_tpu.ops.reductions import dt_cfl_min
         ref_min = float(dt_cfl_min(cfg, s2._replace(c=s1.c)))
-        assert float(dtmin) == ref_min
+        # Cross-TIER comparison: in interpret mode the kernel's post-sweep
+        # u/v differ from the jnp tier by ~1 ulp (XLA FMA contraction of
+        # the two differently-shaped graphs), so the CFL extremum cell's
+        # value — and hence dt — can differ by a few ulps. (WITHIN a tier,
+        # sharded == single-device dt stays bit-exact: tests/test_mesh.py.)
+        assert abs(float(dtmin) - ref_min) <= 8 * np.finfo(np.float64).eps * ref_min
 
 
 @pytest.mark.parametrize("P", [(2, 2), (4, 1), (3, 2)],
