@@ -530,9 +530,19 @@ def armon(params: ArmonParameters, checkpoint=None,
     if params.write_output or params.write_slices:
         os.makedirs(params.output_dir, exist_ok=True)
         path = os.path.join(params.output_dir, params.output_file)
-        host = gather_state(params, state)
-        if params.write_output:
+        if params.write_output and cfg.spmd and params.use_MPI:
+            # Reference distributed-output behavior (`src/io.jl:46-75`):
+            # one `_<cx>×<cy>` file per shard, NO global gather — host
+            # memory stays O(shard) at any mesh/grid scale.
+            from ..io.subdomain import write_sub_domain_files
+            paths = write_sub_domain_files(
+                params, state, path, precision=params.output_precision,
+                with_ghosts=params.write_ghosts)
+            if params.silent < 2:
+                print(f"\nWrote to files {paths[0]} .. {paths[-1]}")
+        elif params.write_output:
             from ..io.output import write_state_file
+            host = gather_state(params, state)
             write_state_file(cfg, host, path,
                              precision=params.output_precision,
                              with_ghosts=params.write_ghosts)
@@ -540,7 +550,7 @@ def armon(params: ArmonParameters, checkpoint=None,
                 print(f"\nWrote to file {path}")
         if params.write_slices:
             from ..io.slices import write_slices_files
-            write_slices_files(cfg, host, path,
+            write_slices_files(cfg, gather_state(params, state), path,
                                precision=params.output_precision)
 
     if params.silent < 3 and cycles > 0:

@@ -665,9 +665,12 @@ def _border_refill(cfg, ci, nci, chunk, rows_tot, fields, hbuf):
     for k, a in enumerate(fields):
         left = flip4(a, 1, g) * fl[k]
         right = flip4(a, 1, W - g - 4) * fr[k]
-        a = jnp.concatenate([a[:, :g - 4], left, a[:, g:W - g],
-                             right, a[:, W - g + 4:]], 1)
-        fixed.append(a)
+        # no zero-width segments: Mosaic rejects empty slices (g == 4 makes
+        # the outer-ghost remainders empty)
+        parts = ([a[:, :g - 4]] if g > 4 else []) + \
+            [left, a[:, g:W - g], right] + \
+            ([a[:, W - g + 4:]] if g > 4 else [])
+        fixed.append(jnp.concatenate(parts, 1))
     fields = fixed
 
     # --- Y borders: only the first / last chunk hold the global rows.
