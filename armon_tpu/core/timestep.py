@@ -71,4 +71,19 @@ def next_time_step(cfg, state, dt_prev, cycle):
     (the start-of-cycle state, `src/reductions.jl:164-199`) then update."""
     if cfg.cst_dt:
         return dt_update(cfg, None, dt_prev, cycle)
+    if cfg.dt_on_even_cycles:
+        # Skip the whole reduction on odd cycles like the reference
+        # (`src/reductions.jl:135-137`) — except cycle 1, which still uses
+        # the first-cycle seed path (dt_prev == 0).
+        T = np.dtype(cfg.dtype).type
+
+        def skip(_):
+            ok = jnp.isfinite(dt_prev) & (dt_prev > 0)
+            return jnp.asarray(dt_prev), jnp.asarray(dt_prev), ok
+
+        def compute(state):
+            return dt_update(cfg, dt_cfl_min(cfg, state), dt_prev, cycle)
+
+        return lax.cond((cycle % 2 == 0) | (dt_prev == T(0.0)),
+                        compute, skip, state)
     return dt_update(cfg, dt_cfl_min(cfg, state), dt_prev, cycle)
