@@ -577,7 +577,8 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
     from ...parallel.blocking import (VMEM_BUDGET, cycle_chunk_rows,
                                       cycle_safe_chunk)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
-    chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize)
+    chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize,
+                             getattr(cfg, "block_size", None))
     if bc_in_kernel:
         chunk = cycle_safe_chunk(rows, chunk, cfg.nghost)
     halo_blk = 8

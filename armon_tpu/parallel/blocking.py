@@ -80,15 +80,22 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     return TilePlan(x_tile_rows=x_tile, y_chunk_rows=chunk, y_tile_cols=tile_c)
 
 
-def cycle_chunk_rows(rows: int, cols: int, itemsize: int) -> int:
+def cycle_chunk_rows(rows: int, cols: int, itemsize: int,
+                     block_size: Optional[Tuple[int, int]] = None) -> int:
     """Row-chunk height for the fully-fused cycle kernel: full-width
-    (chunk+8, cols) buffers, ~25 live temporaries, within the VMEM budget."""
+    (chunk+8, cols) buffers, ~25 live temporaries, within the VMEM budget.
+    `block_size[1]` bounds the chunk (cache-block option parity,
+    `src/parameters.jl:497-516`)."""
     if rows <= 264:
-        return _round_up(rows, 8)
-    budget = VMEM_BUDGET // 3  # leave room for Mosaic's i/o double buffers
-    per_row = cols * LIVE_BUFFERS * itemsize
-    chunk = max(8, ((budget // per_row - 8) // 8) * 8)
-    return min(chunk, 256)
+        chunk = _round_up(rows, 8)
+    else:
+        budget = VMEM_BUDGET // 3  # leave room for Mosaic's i/o double buffers
+        per_row = cols * LIVE_BUFFERS * itemsize
+        chunk = max(8, ((budget // per_row - 8) // 8) * 8)
+        chunk = min(chunk, 256)
+    if block_size is not None:
+        chunk = min(chunk, max(8, _round_up(min(block_size[1], rows), 8)))
+    return chunk
 
 
 def cycle_safe_chunk(rows: int, chunk: int, nghost: int) -> int:
@@ -108,18 +115,32 @@ def cycle_safe_chunk(rows: int, chunk: int, nghost: int) -> int:
 
 
 def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
-                    n_fields: int = 11, comm_vars: int = 7) -> dict:
-    """Exact byte accounting per device
-    (analog of `src/blocking/block_grid.jl:598-709`)."""
+                    n_fields: int = 11, comm_vars: int = 7,
+                    carry_fields: int = 5) -> dict:
+    """Itemized byte accounting per device, including the solver loop's
+    steady-state HBM transients (analog of
+    `src/blocking/block_grid.jl:598-709`).
+
+    The peak lives inside a fused cycle: all `n_fields` state arrays are
+    resident AND the kernel writes `carry_fields` fresh output buffers
+    (rho, u, v, E, p — Pallas outputs cannot alias their inputs), so the
+    high-water mark is (n_fields + carry_fields) full padded arrays plus
+    the stacked halo-exchange slabs. Verified against the dev chip:
+    8192^2 f32 -> 4.3 GB (fits), 12288^2 f32 -> 9.7 GB (RESOURCE_EXHAUSTED
+    on its HBM), which round 1's state-only estimate mispredicted."""
     nx, ny = n_local
     rows, cols = ny + 2 * nghost, nx + 2 * nghost
-    state = n_fields * rows * cols * itemsize
-    # halo slabs: nghost-deep bands on all four sides for the comm vars
+    field = rows * cols * itemsize
+    state = n_fields * field
+    transients = carry_fields * field
+    # halo slabs: stacked (comm_vars, ...) nghost-deep bands on four sides
     halo = 2 * (rows + cols) * nghost * comm_vars * itemsize
     return {
+        "per_device_field_bytes": field,
         "per_device_state_bytes": state,
+        "per_device_transient_bytes": transients,
         "per_device_halo_bytes": halo,
-        "per_device_total_bytes": state + halo,
+        "per_device_total_bytes": state + transients + halo,
     }
 
 

@@ -4,6 +4,8 @@ The pytest suite runs on the CPU backend (virtual mesh, interpret-mode
 Pallas). This script validates the *compiled Mosaic* path on a real TPU:
 
   1. f32 Sod golden regression, auto tier (fused kernels)   -> zero diffs
+  2. tile-plan invariance: odd block_size plans bit-identical
+     (the reference's block-size matrix, test/convergence.jl:107-121)
   3. ragged-height run stays finite/physical
   4. f64 run (jnp fallback) matches the f64 golden gates
   5. throughput sanity at 2048^2
@@ -56,6 +58,24 @@ def main():
     f32tol = (1e-5, 20 * np.finfo(np.float32).eps)
     ok, d = golden(np.float32, 32, *f32tol)
     check("f32 golden (auto tier, compiled Mosaic)", ok, d)
+
+    # Tile-plan invariance (the reference's block-size matrix,
+    # `test/convergence.jl:107-121`): the same golden under odd-shaped
+    # non-default tile plans must be bit-identical to the default plan.
+    def run_real(**kw):
+        p = ArmonParameters(test="Sod", N=(100, 100), data_type=np.float32,
+                            maxcycle=1000, silent=5, measure_time=False,
+                            return_data=True, **kw)
+        host = gather_state(p, armon(p).data)
+        g = p.nghost
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E", "p")}
+
+    base_state = run_real()
+    for bs in ((57, 57), (24, 24), (17, 63)):
+        other = run_real(block_size=bs)
+        same = all(np.array_equal(base_state[v], other[v]) for v in base_state)
+        check(f"tile-plan invariance block_size={bs} (bit-identical)", same)
 
     p = ArmonParameters(test="Sod", N=(100, 101), data_type=np.float32,
                         maxcycle=1000, silent=5, measure_time=False,
