@@ -294,13 +294,19 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
                   f"t = {float(t):.18f}, |dM| = {dM:8.6g}%, |dE| = {dE:8.6g}%")
 
         if params.animation_step != 0 and (cycles - 1) % params.animation_step == 0:
-            from ..io.output import write_state_file
             frame = (cycles - 1) // params.animation_step
             anim_dir = os.path.join(params.output_dir, "anim")
             os.makedirs(anim_dir, exist_ok=True)
             path = os.path.join(anim_dir, f"{params.output_file}_{frame:03d}")
-            write_state_file(cfg, gather_state(params, state), path,
-                             precision=params.output_precision)
+            if cfg.spmd and params.use_MPI:
+                # per-shard frames, O(shard) host memory (src/io.jl:46-75)
+                from ..io.subdomain import write_sub_domain_files
+                write_sub_domain_files(params, state, path,
+                                       precision=params.output_precision)
+            else:
+                from ..io.output import write_state_file
+                write_state_file(cfg, gather_state(params, state), path,
+                                 precision=params.output_precision)
 
     return state, float(t), cycles, float(dt_prev)
 

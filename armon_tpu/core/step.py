@@ -124,9 +124,9 @@ def fused_sweep_step(cfg, state, axis: Axis, dt):
     exchanged — p/c ghosts are recomputed in-kernel by the EOS (which
     commutes bitwise with the mirror/halo copy). Returns (state, local_min)
     where local_min is this shard's CFL minimum of the post-sweep state."""
-    from ..ops.pallas.sweep import fused_sweep
+    from ..ops.pallas.sweep import fused_sweep_ip
     state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
-    rho, u, v, E, p_stale, local_min = fused_sweep(
+    rho, u, v, E, p_stale, local_min = fused_sweep_ip(
         cfg, axis, state.rho, state.u, state.v, state.E, dt,
         n_real=_shard_n_real(cfg), interpret=_pallas_interpret(cfg))
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
@@ -167,8 +167,12 @@ def run_schedule_fused(cfg, state, schedule, dt):
     T = np.dtype(cfg.dtype).type
     local_min = None
     i = 0
+    # Single device: per-sweep IN-PLACE kernels (zero full-array copies in
+    # the loop carry, no cross-sweep halo recompute). Mesh: the whole-cycle
+    # kernel keeps the halo exchange at ONE collective round per cycle.
+    pair_cycles = cfg.spmd
     while i < len(schedule):
-        if (i + 1 < len(schedule)
+        if (pair_cycles and i + 1 < len(schedule)
                 and {schedule[i][0], schedule[i + 1][0]} == {Axis.X, Axis.Y}):
             state, local_min = fused_cycle_step(
                 cfg, state, (schedule[i], schedule[i + 1]), dt)

@@ -386,6 +386,114 @@ def _im(*vals):
     return tuple(jnp.asarray(v, jnp.int32) for v in vals)
 
 
+def _halo_strips(x, chunk, rows):
+    """(above, below) side buffers of shape (nci*8, cols): the 8 rows just
+    above/below each row-chunk, read out of the main array ONCE (O(16/chunk)
+    of it) so the sweep kernel never reads main-array rows outside its own
+    tile — the condition that makes input/output buffer aliasing safe.
+    Chunk-0 above and last-chunk below are clamped placeholders (their
+    results land in dead ghost cells, as with the old clamped index maps)."""
+    nci = pl.cdiv(rows, chunk)
+    above = [jax.lax.slice_in_dim(x, 0, 8, axis=0)]
+    for i in range(1, nci):
+        above.append(jax.lax.slice_in_dim(x, i * chunk - 8, i * chunk, axis=0))
+    below = []
+    for i in range(nci):
+        lo = min((i + 1) * chunk, rows - 8)
+        below.append(jax.lax.slice_in_dim(x, lo, lo + 8, axis=0))
+    return jnp.concatenate(above, 0), jnp.concatenate(below, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "axis", "interpret"))
+def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
+    """In-place variant of `fused_sweep`: the four field outputs ALIAS their
+    input buffers (`input_output_aliases`), so inside the jitted time loop
+    XLA updates the while-loop carry with zero full-array copies (the
+    non-aliased form costs 4 copies/cycle, ~16% at 8192² — see
+    BENCH_NOTES.md round-2 attribution).
+
+    Alias safety: the X sweep's tiles read only their own rows (row-local
+    stencil); the Y sweep reads its halo rows from the side strips of
+    `_halo_strips`, never from the main arrays — so every main-array read
+    of a grid step is confined to the block that same step writes, and
+    Mosaic's fetch-compute-store order per tile makes in-place safe.
+
+    Ghost bands along `axis` must be pre-filled (mirror BC / halo
+    exchange). Returns (rho, u, v, E, p_stale, local_dt_min)."""
+    rows, cols = rho.shape
+    dt_arr = jnp.asarray(dt, cfg.dtype).reshape(1, 1)
+    if n_real is None:
+        n_real = jnp.asarray(cfg.n_local, jnp.int32)
+    lim_arr = jnp.asarray(n_real, jnp.int32).reshape(1, 2)
+
+    out_field = lambda: jax.ShapeDtypeStruct((rows, cols), cfg.dtype)
+    from ...parallel.blocking import plan_tiles, VMEM_BUDGET
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
+    plan = plan_tiles(rows, cols, np.dtype(cfg.dtype).itemsize,
+                      getattr(cfg, "block_size", None))
+    dtmin_spec = pl.BlockSpec((8, 128), lambda *_: _im(0, 0),
+                              memory_space=pltpu.VMEM)
+    dtmin_shape = jax.ShapeDtypeStruct((8, 128), cfg.dtype)
+
+    if axis is Axis.X:
+        tile_r = plan.x_tile_rows
+        grid = (pl.cdiv(rows, tile_r),)
+        field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
+                                  memory_space=pltpu.VMEM)
+        kernel = functools.partial(_x_sweep_kernel, cfg, tile_r, interpret)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, 1), lambda i: _im(0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((1, 2), lambda i: _im(0, 0),
+                                   memory_space=pltpu.SMEM)] + [field_spec] * 4,
+            out_specs=[field_spec] * 5 + [dtmin_spec],
+            out_shape=[out_field()] * 5 + [dtmin_shape],
+            input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+            compiler_params=cparams,
+            interpret=interpret,
+        )(dt_arr, lim_arr, rho, u, v, E)
+    else:
+        chunk = plan.y_chunk_rows
+        tile_c = plan.y_tile_cols
+        nci, ncj = pl.cdiv(rows, chunk), pl.cdiv(cols, tile_c)
+        grid = (nci, ncj)
+
+        cur = pl.BlockSpec((chunk, tile_c), lambda i, j: _im(i, j),
+                           memory_space=pltpu.VMEM)
+        strip = pl.BlockSpec((8, tile_c), lambda i, j: _im(i, j),
+                             memory_space=pltpu.VMEM)
+
+        kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
+                                   8, interpret)
+        smem = pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
+                            memory_space=pltpu.SMEM)
+        in_specs = [smem,
+                    pl.BlockSpec((1, 2), lambda i, j: _im(0, 0),
+                                 memory_space=pltpu.SMEM)]
+        args = [dt_arr, lim_arr]
+        aliases = {}
+        for k, a in enumerate((rho, u, v, E)):
+            above, below = _halo_strips(a, chunk, rows)
+            in_specs += [cur, strip, strip]
+            aliases[2 + 3 * k] = k
+            args += [a, above, below]
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[cur] * 5 + [dtmin_spec],
+            out_shape=[out_field()] * 5 + [dtmin_shape],
+            input_output_aliases=aliases,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(*args)
+
+    rho2, u2, v2, E2, p_st, dt_tiles = out
+    return rho2, u2, v2, E2, p_st, _dt_from_tiles(cfg, dt_tiles)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "axis", "interpret"))
 def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
     """Run one fused sweep. Returns (rho, u, v, E, p_stale, local_dt_min).
