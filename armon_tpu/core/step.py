@@ -119,16 +119,21 @@ def _shard_n_real(cfg):
     return None
 
 
-def fused_sweep_step(cfg, state, axis: Axis, dt):
+def fused_sweep_step(cfg, state, axis: Axis, dt, last=True):
     """One sweep through the fused Pallas kernel. Only (rho,u,v,E) ghosts are
     exchanged — p/c ghosts are recomputed in-kernel by the EOS (which
     commutes bitwise with the mirror/halo copy). Returns (state, local_min)
-    where local_min is this shard's CFL minimum of the post-sweep state."""
+    where local_min is this shard's CFL minimum of the post-sweep state.
+    `last=False` (not the cycle's final sweep) skips the p stream and the
+    CFL reduction — neither is observable mid-cycle."""
     from ..ops.pallas.sweep import fused_sweep_ip
     state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
     rho, u, v, E, p_stale, local_min = fused_sweep_ip(
         cfg, axis, state.rho, state.u, state.v, state.E, dt,
-        n_real=_shard_n_real(cfg), interpret=_pallas_interpret(cfg))
+        n_real=_shard_n_real(cfg), emit_p=last, emit_dt=last,
+        interpret=_pallas_interpret(cfg))
+    if p_stale is None:
+        return state._replace(rho=rho, u=u, v=v, E=E), local_min
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 
@@ -180,7 +185,8 @@ def run_schedule_fused(cfg, state, schedule, dt):
         else:
             axis, factor = schedule[i]
             state, local_min = fused_sweep_step(cfg, state, axis,
-                                                dt * T(factor))
+                                                dt * T(factor),
+                                                last=(i == len(schedule) - 1))
             i += 1
     return state, local_min
 

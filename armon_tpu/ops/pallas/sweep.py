@@ -97,8 +97,21 @@ def _limiter(name, r):
 
 def _eos(cfg, T, rho, u, v, E, div=None):
     """Returns (p, c). Same expressions as armon_tpu.ops.eos."""
+    p, rc, c = _eos_prc(cfg, T, rho, u, v, E, div, need_c=True)
+    return p, c
+
+
+def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True):
+    """Returns (p, rho*c, c). The acoustic impedance rho*c is what the
+    Riemann solve and theta-blend actually consume (`src/riemann_schemes.jl:
+    21-30,76-80`); c itself is only needed by the CFL reduction. Under
+    fast_math with need_c=False the impedance is formed directly —
+    sqrt(gamma*p*rho) instead of rho*sqrt(gamma*p/rho), saving a division
+    (~1 ulp apart; exact-IEEE mode always computes c so golden runs keep
+    the reference expression bitwise). c is None when skipped."""
     if div is None:
         div = _EXACT_DIV
+    fast = div is not _EXACT_DIV
     if isinstance(cfg.test, Bizarrium):
         rho0 = T(10000.0); K0 = T(1e11); Cv0 = T(1000.0); T0 = T(300.0)
         eps0 = T(0.0); G0 = T(1.5); s = T(1.5)
@@ -114,51 +127,57 @@ def _eos(cfg, T, rho, u, v, E, div=None):
             + x ** 2 * (1 + x) * div(2 * q + 6 * r * x + 2 * s * f1, 1 - s * x))
         e = E - 0.5 * (u ** 2 + v ** 2)
         p = pk0 + G0 * rho0 * (e - epsk0)
-        c = div(jnp.sqrt(G0 * rho0 * (p - pk0) - pk0prime), rho)
-        return p, c
+        sq = jnp.sqrt(G0 * rho0 * (p - pk0) - pk0prime)
+        if fast and not need_c:
+            return p, sq, None  # rho * (sq/rho) == sq up to 2 ulp
+        c = div(sq, rho)
+        return p, rho * c, c
     gm = T(cfg.gamma)
     e = E - 0.5 * (u ** 2 + v ** 2)
     p = (gm - T(1.0)) * rho * e
+    if fast and not need_c:
+        return p, jnp.sqrt(gm * p * rho), None
     c = jnp.sqrt(div(gm * p, rho))
-    return p, c
+    return p, rho * c, c
 
 
-def _godunov(rho_i, rho_im, c_i, c_im, u_i, u_im, p_i, p_im, div=None):
-    # src/riemann_schemes.jl:21-30
+def _godunov(rc_l, rc_r, u_i, u_im, p_i, p_im, div=None):
+    # src/riemann_schemes.jl:21-30 (rc = rho*c acoustic impedances)
     if div is None:
         div = _EXACT_DIV
-    rc_l = rho_im * c_im
-    rc_r = rho_i * c_i
     ustar = div(rc_l * u_im + rc_r * u_i + (p_im - p_i), rc_l + rc_r)
     pstar = div(rc_r * p_im + rc_l * p_i + rc_l * rc_r * (u_im - u_i), rc_l + rc_r)
     return ustar, pstar
 
 
-def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None):
+def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
     """Full sweep on one tile. `sh(a, k)` reads at offset +k along the sweep
     axis. `uax` is the velocity along the axis, `uot` the other one, `dx` the
     cell size along the axis (a T scalar). `div` is the division primitive:
     exact IEEE by default; approximate-reciprocal under `fast_math` (the
     reference's own default build uses @fastmath, src/generic_kernel.jl:3).
+    `need_c=False` lets the fast path skip forming the sound speed itself
+    (only the CFL reduction consumes it — returns c_stale=None then).
     Returns (rho', uax', uot', E', p_stale, c_stale)."""
     T = np.dtype(cfg.dtype).type
     if div is None:
         div = _EXACT_DIV
 
     # EOS (src/kernels.jl:4-13) — from the input (pre-sweep) state.
-    p, c = _eos(cfg, T, rho, uax, uot, E, div)
+    p, rc, c = _eos_prc(cfg, T, rho, uax, uot, E, div, need_c=need_c)
 
-    # ---- Riemann fluxes
+    # ---- Riemann fluxes. sh is a permutation, so sh(rc) == sh(rho)*sh(c)
+    # bitwise — the shifted impedances equal the reference's rho_m*c_m.
     if cfg.riemann == "Godunov":
-        ustar, pstar = _godunov(rho, sh(rho, -1), c, sh(c, -1),
+        ustar, pstar = _godunov(sh(rc, -1), rc,
                                 uax, sh(uax, -1), p, sh(p, -1), div)
     else:  # GAD (src/riemann_schemes.jl:55-104)
         rho_m = sh(rho, -1)
-        c_m = sh(c, -1)
+        rc_l = sh(rc, -1)
         u_m = sh(uax, -1)
         p_m = sh(p, -1)
 
-        us_i, ps_i = _godunov(rho, rho_m, c, c_m, uax, u_m, p, p_m, div)
+        us_i, ps_i = _godunov(rc_l, rc, uax, u_m, p, p_m, div)
         # The neighbouring interface solves are the SAME elementwise map on
         # shifted inputs, and `sh` is a rotation (a permutation), which
         # commutes exactly with elementwise math: deriving them by shifting
@@ -176,9 +195,7 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None):
         dm_l = rho_m * dx
         dm_r = rho * dx
         Dm = (dm_l + dm_r) / 2
-        rc_l = rho_m * c_m
-        rc_r = rho * c
-        theta = T(0.5) * (1 - (rc_l + rc_r) / 2 * div(dt, Dm))
+        theta = T(0.5) * (1 - (rc_l + rc) / 2 * div(dt, Dm))
 
         ustar = us_i + theta * (r_up * (uax - us_i) - r_um * (us_i - u_m))
         pstar = ps_i + theta * (r_pp * (p - ps_i) - r_pm * (ps_i - p_m))
@@ -304,9 +321,8 @@ def _dt_from_tiles(cfg, dt_tiles):
     return jnp.minimum(T(cfg.dx) / mx, T(cfg.dy) / my)
 
 
-def _x_sweep_kernel(cfg, tile_r, interp, dt_ref, lim_ref,
-                    rho_ref, u_ref, v_ref, E_ref,
-                    rho_o, u_o, v_o, E_o, p_o, dtmin_o):
+def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, dt_ref, lim_ref,
+                    rho_ref, u_ref, v_ref, E_ref, *outs):
     T = np.dtype(cfg.dtype).type
     dt = dt_ref[0, 0]
     i = pl.program_id(0)
@@ -321,24 +337,28 @@ def _x_sweep_kernel(cfg, tile_r, interp, dt_ref, lim_ref,
     rho, u, v, E = rho_ref[:], u_ref[:], v_ref[:], E_ref[:]
     rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dx),
                                                rho, u, v, E,
-                                               _make_div(cfg, interp))
-    rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = rho2, u2, v2, E2, p_st
+                                               _make_div(cfg, interp),
+                                               need_c=emit_dt)
+    outs[0][:], outs[1][:], outs[2][:], outs[3][:] = rho2, u2, v2, E2
+    if emit_p:
+        outs[4][:] = p_st
 
-    # Max-accumulate into a revisited (8, 128) VMEM block: the TPU grid runs
-    # sequentially, so the block carries the running CFL max across tiles.
-    @pl.when(i == 0)
-    def _():
-        dtmin_o[:] = jnp.zeros((8, 128), cfg.dtype)
+    if emit_dt:
+        # Max-accumulate into a revisited (8, 128) VMEM block: the TPU grid
+        # runs sequentially, so the block carries the running CFL max.
+        @pl.when(i == 0)
+        def _():
+            outs[-1][:] = jnp.zeros((8, 128), cfg.dtype)
 
-    m = _dt_tile_min(cfg, T, u2, v2, c_st, i * tile_r, 0,
-                     nx=lim_ref[0, 0], ny=lim_ref[0, 1])
-    dtmin_o[:] = jnp.maximum(dtmin_o[:], m)
+        m = _dt_tile_min(cfg, T, u2, v2, c_st, i * tile_r, 0,
+                         nx=lim_ref[0, 0], ny=lim_ref[0, 1])
+        outs[-1][:] = jnp.maximum(outs[-1][:], m)
 
 
-def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref, lim_ref,
+def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, emit_p, emit_dt, interp,
+                    dt_ref, lim_ref,
                     rho_c, rho_a, rho_b, u_c, u_a, u_b,
-                    v_c, v_a, v_b, E_c, E_a, E_b,
-                    rho_o, u_o, v_o, E_o, p_o, dtmin_o):
+                    v_c, v_a, v_b, E_c, E_a, E_b, *outs):
     T = np.dtype(cfg.dtype).type
     dt = dt_ref[0, 0]
     ci = pl.program_id(0)
@@ -362,20 +382,24 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, interp, dt_ref, lim_ref,
     # Y sweep: the axis velocity is v
     rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dy),
                                                rho, v, u, E,
-                                               _make_div(cfg, interp))
+                                               _make_div(cfg, interp),
+                                               need_c=emit_dt)
 
     sl = slice(H, H + chunk)
-    rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
-        rho2[sl], u2[sl], v2[sl], E2[sl], p_st[sl]
+    outs[0][:], outs[1][:], outs[2][:], outs[3][:] = \
+        rho2[sl], u2[sl], v2[sl], E2[sl]
+    if emit_p:
+        outs[4][:] = p_st[sl]
 
-    @pl.when((ci == 0) & (cj == 0))
-    def _():
-        dtmin_o[:] = jnp.zeros((8, 128), cfg.dtype)
+    if emit_dt:
+        @pl.when((ci == 0) & (cj == 0))
+        def _():
+            outs[-1][:] = jnp.zeros((8, 128), cfg.dtype)
 
-    m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl],
-                     ci * chunk, cj * tile_c,
-                     nx=lim_ref[0, 0], ny=lim_ref[0, 1])
-    dtmin_o[:] = jnp.maximum(dtmin_o[:], m)
+        m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl],
+                         ci * chunk, cj * tile_c,
+                         nx=lim_ref[0, 0], ny=lim_ref[0, 1])
+        outs[-1][:] = jnp.maximum(outs[-1][:], m)
 
 
 # ------------------------------------------------------------------ wrappers
@@ -404,8 +428,10 @@ def _halo_strips(x, chunk, rows):
     return jnp.concatenate(above, 0), jnp.concatenate(below, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "axis", "interpret"))
-def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
+@functools.partial(jax.jit, static_argnames=("cfg", "axis", "emit_p",
+                                             "emit_dt", "interpret"))
+def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
+                   emit_p=True, emit_dt=True, interpret=False):
     """In-place variant of `fused_sweep`: the four field outputs ALIAS their
     input buffers (`input_output_aliases`), so inside the jitted time loop
     XLA updates the while-loop carry with zero full-array copies (the
@@ -418,8 +444,12 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
     of a grid step is confined to the block that same step writes, and
     Mosaic's fetch-compute-store order per tile makes in-place safe.
 
+    `emit_p`/`emit_dt`: whether to write the stale-p stream and the CFL
+    reduction — only the cycle's LAST sweep needs them (observable p, dt
+    carry); earlier sweeps skip an output stream and the reduction math.
+
     Ghost bands along `axis` must be pre-filled (mirror BC / halo
-    exchange). Returns (rho, u, v, E, p_stale, local_dt_min)."""
+    exchange). Returns (rho, u, v, E, p_stale|None, local_dt_min|None)."""
     rows, cols = rho.shape
     dt_arr = jnp.asarray(dt, cfg.dtype).reshape(1, 1)
     if n_real is None:
@@ -434,13 +464,15 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
     dtmin_spec = pl.BlockSpec((8, 128), lambda *_: _im(0, 0),
                               memory_space=pltpu.VMEM)
     dtmin_shape = jax.ShapeDtypeStruct((8, 128), cfg.dtype)
+    n_out = 4 + (1 if emit_p else 0)
 
     if axis is Axis.X:
         tile_r = plan.x_tile_rows
         grid = (pl.cdiv(rows, tile_r),)
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
-        kernel = functools.partial(_x_sweep_kernel, cfg, tile_r, interpret)
+        kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
+                                   emit_p, emit_dt, interpret)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -448,8 +480,8 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
                                    memory_space=pltpu.SMEM),
                       pl.BlockSpec((1, 2), lambda i: _im(0, 0),
                                    memory_space=pltpu.SMEM)] + [field_spec] * 4,
-            out_specs=[field_spec] * 5 + [dtmin_spec],
-            out_shape=[out_field()] * 5 + [dtmin_shape],
+            out_specs=[field_spec] * n_out + ([dtmin_spec] if emit_dt else []),
+            out_shape=[out_field()] * n_out + ([dtmin_shape] if emit_dt else []),
             input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
             compiler_params=cparams,
             interpret=interpret,
@@ -466,7 +498,7 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
                              memory_space=pltpu.VMEM)
 
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
-                                   8, interpret)
+                                   8, emit_p, emit_dt, interpret)
         smem = pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
                             memory_space=pltpu.SMEM)
         in_specs = [smem,
@@ -483,15 +515,17 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[cur] * 5 + [dtmin_spec],
-            out_shape=[out_field()] * 5 + [dtmin_shape],
+            out_specs=[cur] * n_out + ([dtmin_spec] if emit_dt else []),
+            out_shape=[out_field()] * n_out + ([dtmin_shape] if emit_dt else []),
             input_output_aliases=aliases,
             compiler_params=cparams,
             interpret=interpret,
         )(*args)
 
-    rho2, u2, v2, E2, p_st, dt_tiles = out
-    return rho2, u2, v2, E2, p_st, _dt_from_tiles(cfg, dt_tiles)
+    rho2, u2, v2, E2 = out[:4]
+    p_st = out[4] if emit_p else None
+    local_min = _dt_from_tiles(cfg, out[-1]) if emit_dt else None
+    return rho2, u2, v2, E2, p_st, local_min
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "axis", "interpret"))
@@ -521,7 +555,8 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
         grid = (pl.cdiv(rows, tile_r),)
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
-        kernel = functools.partial(_x_sweep_kernel, cfg, tile_r, interpret)
+        kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
+                                   True, True, interpret)
         dtmin_spec = pl.BlockSpec((8, 128), lambda i: _im(0, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
@@ -565,7 +600,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
                              memory_space=pltpu.VMEM)
 
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
-                                   halo_blk, interpret)
+                                   halo_blk, True, True, interpret)
         in_specs = [pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((1, 2), lambda i, j: _im(0, 0),
@@ -644,12 +679,12 @@ def _cycle_kernel(cfg, chunk, x_first, bc_in_kernel, nci, rows_tot, interp,
     div = _make_div(cfg, interp)
     if x_first:
         rho1, u1, v1, E1, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
-                                             rho, u, v, E, div)
+                                             rho, u, v, E, div, need_c=False)
         rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, shy, dty, T(cfg.dy),
                                                    rho1, v1, u1, E1, div)
     else:
         rho1, v1, u1, E1, _, _ = _sweep_math(cfg, shy, dty, T(cfg.dy),
-                                             rho, v, u, E, div)
+                                             rho, v, u, E, div, need_c=False)
         rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, shx, dtx, T(cfg.dx),
                                                    rho1, u1, v1, E1, div)
 
