@@ -141,6 +141,22 @@ def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True):
     return p, rho * c, c
 
 
+def _make_div_correction(div):
+    """Division for 2nd-order CORRECTION factors (limiter slope ratios,
+    slope scale factors, theta, length factor): under fast_math these
+    tolerate the raw approximate reciprocal (no Newton step) — the ~2^-12
+    relative error only perturbs a correction term that is itself a small
+    fraction of the primary quantity, far below the f32 golden ladder
+    (verified zero-diff on-chip). Exact-IEEE mode is unchanged."""
+    if div is _EXACT_DIV:
+        return div
+
+    def div_c(a, b):
+        return a * pl.reciprocal(b, approx=True)
+
+    return div_c
+
+
 def _godunov(rc_l, rc_r, u_i, u_im, p_i, p_im, div=None):
     # src/riemann_schemes.jl:21-30 (rc = rho*c acoustic impedances)
     if div is None:
@@ -186,16 +202,7 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
         us_im, ps_im = sh(us_i, -1), sh(ps_i, -1)
         us_ip, ps_ip = sh(us_i, 1), sh(ps_i, 1)
 
-        if div is _EXACT_DIV:
-            div_r = div
-        else:
-            # Slope RATIOS tolerate the raw approximate reciprocal (no
-            # Newton step): they only steer the clamped limiter factor of
-            # a 2nd-order CORRECTION term, so the ~2^-12 relative error
-            # lands far below the f32 golden ladder (verified on-chip).
-            def div_r(a, b):
-                return a * pl.reciprocal(b, approx=True)
-
+        div_r = _make_div_correction(div)
         eps = T(1e-6)
         r_um = _limiter(cfg.limiter, div_r(us_ip - uax, us_i - u_m + eps))
         r_pm = _limiter(cfg.limiter, div_r(ps_ip - p, ps_i - p_m + eps))
@@ -205,7 +212,7 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
         dm_l = rho_m * dx
         dm_r = rho * dx
         Dm = (dm_l + dm_r) / 2
-        theta = T(0.5) * (1 - (rc_l + rc) / 2 * div(dt, Dm))
+        theta = T(0.5) * (1 - (rc_l + rc) / 2 * div_r(dt, Dm))
 
         ustar = us_i + theta * (r_up * (uax - us_i) - r_um * (us_i - u_m))
         pstar = ps_i + theta * (r_pp * (p - ps_i) - r_pm * (ps_i - p_m))
@@ -237,8 +244,9 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
         dxl_m = dx + dt * (rd(ustar, 0) - rd(ustar, -1))
         dxl = dx + dt * (rd(ustar, 1) - rd(ustar, 0))
         dxl_p = dx + dt * (rd(ustar, 2) - rd(ustar, 1))
-        r_m = div(2 * dxl, dxl + dxl_m)
-        r_p = div(2 * dxl, dxl + dxl_p)
+        div_c = _make_div_correction(div)
+        r_m = div_c(2 * dxl, dxl + dxl_m)
+        r_p = div_c(2 * dxl, dxl + dxl_p)
 
         def slope(m, i, pp):
             du_p = r_p * (pp - i)
@@ -260,7 +268,7 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
         sl_vr = slope(rv_m, rv_i, rv_p)
         sl_Er = slope(rE_m, rE_i, rE_p)
 
-        lf = div(dxe, 2 * dxl)
+        lf = div_c(dxe, 2 * dxl)
         adv_rho = disp * (rr_i - sl_rho * lf)
         adv_ur = disp * (ru_i - sl_ur * lf)
         adv_vr = disp * (rv_i - sl_vr * lf)
