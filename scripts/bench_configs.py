@@ -1,4 +1,5 @@
-"""Run the BASELINE.json measurement configs and write BENCH_NOTES.md.
+"""Run the BASELINE.json measurement configs and write BENCH_CONFIGS.md
+(table only — BENCH_NOTES.md is hand-maintained; merge numbers there).
 
 Configs (BASELINE.md):
  1. Sod 100x100 (the CPU-reference scale — dominated by launch overhead)
@@ -59,7 +60,9 @@ def main():
     ap.add_argument("--tier", default="pallas", choices=["pallas", "jnp"])
     ap.add_argument("--strict", action="store_true",
                     help="strict IEEE divides (use_fast_math=False)")
-    ap.add_argument("--out", default="BENCH_NOTES.md")
+    ap.add_argument("--out", default="BENCH_CONFIGS.md",
+                    help="per-config table output (kept separate from the
+                         hand-maintained BENCH_NOTES.md)")
     args = ap.parse_args()
     args.fast = not args.strict
     dtype = np.float32 if args.dtype == "f32" else np.float64
