@@ -125,23 +125,35 @@ def make_init(params):
 
 
 def make_conservation(params):
+    """Returns a host-callable (state) -> (mass, energy) as Python f64
+    floats — the f32 path's compensated (hi, lo) pairs are combined on
+    host (`conservation_scalar`), giving f64-grade drift measurement on
+    chips whose f64 is emulated."""
     cfg = params.config
+    from ..ops.reductions import conservation_scalar
 
     def build():
         if not cfg.spmd:
-            return jax.jit(lambda s: conservation_vars(cfg, s))
+            dev = jax.jit(lambda s: conservation_vars(cfg, s))
+        else:
+            def cons(state):
+                from jax import lax
+                m, e = conservation_vars(cfg, state)
+                # MPI.Allreduce(SUM) analog (src/reductions.jl:318-320);
+                # componentwise over the compensated pairs
+                m = lax.psum(m, cfg.axis_names)
+                e = lax.psum(e, cfg.axis_names)
+                return m, e
 
-        def cons(state):
-            from jax import lax
-            m, e = conservation_vars(cfg, state)
-            # MPI.Allreduce(SUM) analog (src/reductions.jl:318-320)
-            m = lax.psum(m, cfg.axis_names)
-            e = lax.psum(e, cfg.axis_names)
-            return m, e
+            _, state_spec, rep = _mesh_and_specs(params)
+            dev = _shard(params, cons, in_specs=(state_spec,),
+                         out_specs=(rep, rep))
 
-        _, state_spec, rep = _mesh_and_specs(params)
-        return _shard(params, cons, in_specs=(state_spec,),
-                      out_specs=(rep, rep))
+        def call(state):
+            m, e = dev(state)
+            return conservation_scalar(cfg, m), conservation_scalar(cfg, e)
+
+        return call
 
     return _cached(params, "conservation", build)
 

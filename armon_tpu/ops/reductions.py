@@ -82,41 +82,59 @@ def dt_cfl_min(cfg, state):
 
 
 def _ff_sum(x):
-    """Compensated (float-float) sum: per-row pairwise partial sums, then a
-    Knuth 2Sum scan over the row sums. Gives f64-grade accuracy for the f32
-    conservation check ON CHIP, where f64 is software-emulated (the
-    reference validates conservation at f64 everywhere,
-    `test/conservation.jl:13-14`). Exact-dtype rounding only — no x64."""
-    rows = jnp.sum(x, axis=1)  # XLA pairwise: error ~ log(cols) ulp
-
+    """Compensated (float-float / Knuth 2Sum) sum of a 2D array: a vector
+    2Sum scan down the columns keeps one (hi, lo) pair per row-lane, then a
+    scalar 2Sum scan combines the lane sums. Every partial sum is carried
+    with its rounding error, giving f64-grade accuracy in pure f32 — so the
+    conservation check meets the reference's f64 validation bound ON CHIP,
+    where real f64 is software-emulated (`test/conservation.jl:13-14`)."""
     def two_sum(carry, b):
-        s_hi, s_lo = carry
-        t = s_hi + b
-        bp = t - s_hi
-        err = (s_hi - (t - bp)) + (b - bp)
-        lo = s_lo + err
-        return (t, lo), None
+        hi, lo = carry
+        t = hi + b
+        bp = t - hi
+        err = (hi - (t - bp)) + (b - bp)
+        return (t, lo + err), None
 
-    (hi, lo), _ = jax.lax.scan(two_sum, (rows[0] * 0, rows[0] * 0), rows)
-    return hi + lo
+    zero_v = jnp.zeros(x.shape[0], x.dtype)
+    (hi, lo), _ = jax.lax.scan(two_sum, (zero_v, zero_v),
+                               jnp.swapaxes(x, 0, 1))
+    zero_s = jnp.zeros((), x.dtype)
+    (h, l), _ = jax.lax.scan(two_sum, (zero_s, zero_s), hi)
+    # the (hi, lo) PAIR carries the f64-grade value; collapsing it to one
+    # f32 would re-quantize — callers combine the pair in host f64
+    # (`conservation_scalar`)
+    return h, l + jnp.sum(lo)
 
 
 def conservation_vars(cfg, state):
-    """(total mass, total energy) over real cells, scaled by the cell area
-    (`src/reductions.jl:202-216,254-258`). f32 runs use the compensated sum
-    so the <=1e-12 drift bound is measurable on hardware."""
+    """(total mass, total energy) over real cells
+    (`src/reductions.jl:202-216,254-258`).
+
+    f64: ds-scaled scalars (bitwise as always). f32: UNSCALED compensated
+    (hi, lo) pairs of shape (2,) — combine with `conservation_scalar` on
+    host, where f64 is free, so the <=1e-12 drift bound is measurable even
+    on hardware whose f64 is emulated."""
     T = np.dtype(cfg.dtype).type
     ds = T(cfg.dx) * T(cfg.dy)
     compensated = np.dtype(cfg.dtype).itemsize == 4
-    total = _ff_sum if compensated else jnp.sum
     if _uneven(cfg):
         mask = _real_mask(cfg, state.rho.shape)
         zero = T(0.0)
         rho = jnp.where(mask, state.rho, zero)
         rhoE = jnp.where(mask, state.rho * state.E, zero)
-        return total(rho) * ds, total(rhoE) * ds
-    r = real_slice(cfg)
-    rho, E = state.rho[r], state.E[r]
-    mass = total(rho) * ds
-    energy = total(rho * E) * ds
-    return mass, energy
+    else:
+        r = real_slice(cfg)
+        rho, E = state.rho[r], state.E[r]
+        rhoE = rho * E
+    if compensated:
+        return jnp.stack(_ff_sum(rho)), jnp.stack(_ff_sum(rhoE))
+    return jnp.sum(rho) * ds, jnp.sum(rhoE) * ds
+
+
+def conservation_scalar(cfg, v) -> float:
+    """Host-side f64 value of a `conservation_vars` output: combines the
+    compensated (hi, lo) pair and applies the ds scaling in f64."""
+    a = np.asarray(jax.device_get(v), np.float64)
+    if a.ndim == 1:
+        return float((a[0] + a[1]) * (cfg.dx * cfg.dy))
+    return float(a)
