@@ -25,20 +25,6 @@ from ..core.state import COMM_VARS
 from ..ops.boundary import boundary_conditions
 
 
-def _slab(buf, arr_ax, lo, hi):
-    """Slice `buf` (stacked: leading var dim) along array axis `arr_ax` of the
-    underlying fields."""
-    sl = [slice(None)] * buf.ndim
-    sl[arr_ax + 1] = slice(lo, hi)
-    return buf[tuple(sl)]
-
-
-def _set_slab(buf, arr_ax, lo, hi, value):
-    sl = [slice(None)] * buf.ndim
-    sl[arr_ax + 1] = slice(lo, hi)
-    return buf.at[tuple(sl)].set(value)
-
-
 def _bc_factors(cfg, side, vars):
     """(nvars,) per-variable mirror factors for a global border
     (`src/tests.jl:150-161` applied to the exchanged vars)."""
@@ -62,12 +48,19 @@ def halo_exchange(cfg, state, axis: Axis, vars=COMM_VARS):
     arr_ax = axis.array_axis
     idx = lax.axis_index(ax_name)
 
-    buf = jnp.stack([getattr(state, v) for v in vars])
-    size = buf.shape[arr_ax + 1]
+    arrs = [getattr(state, v) for v in vars]
+    size = arrs[0].shape[arr_ax]
 
-    # Real-cell slabs adjacent to each border
-    first_real = _slab(buf, arr_ax, g, 2 * g)                  # next to Left/Bottom
-    last_real = _slab(buf, arr_ax, size - 2 * g, size - g)     # next to Right/Top
+    def slab(a, lo, hi):
+        sl = [slice(None)] * a.ndim
+        sl[arr_ax] = slice(lo, hi)
+        return a[tuple(sl)]
+
+    # Only the O(boundary) slabs are stacked and moved — the fields
+    # themselves are updated in place with slab writes (stacking the FULL
+    # fields would copy every exchanged array twice per sweep).
+    first_real = jnp.stack([slab(a, g, 2 * g) for a in arrs])
+    last_real = jnp.stack([slab(a, size - 2 * g, size - g) for a in arrs])
 
     # Neighbor exchange (non-periodic): device i sends its last slab to i+1
     # and its first slab to i-1.
@@ -79,9 +72,7 @@ def halo_exchange(cfg, state, axis: Axis, vars=COMM_VARS):
     # Mirror-BC slabs for the global borders (src/halo_exchange.jl:2-36)
     side_lo, side_hi = sides_along(axis)
     mirror_lo = jnp.flip(first_real, axis=arr_ax + 1) * _bc_factors(cfg, side_lo, vars)
-
     ghosts_lo = jnp.where(idx == 0, mirror_lo, recv_from_prev)
-    buf = _set_slab(buf, arr_ax, 0, g, ghosts_lo)
 
     if cfg.uneven(axis):
         # Uneven split: the hi-edge shard's real cells end at g + n_edge,
@@ -93,15 +84,21 @@ def halo_exchange(cfg, state, axis: Axis, vars=COMM_VARS):
         ne = np.int32(cfg.edge_cells[int(axis)])
         is_edge = idx == n_dev - 1
         src_start = jnp.where(is_edge, ne, np.int32(size - 2 * g))
-        src = lax.dynamic_slice_in_dim(buf, src_start, g, axis=arr_ax + 1)
+        src = jnp.stack([lax.dynamic_slice_in_dim(a, src_start, g, axis=arr_ax)
+                         for a in arrs])
         mirror_hi = jnp.flip(src, axis=arr_ax + 1) * _bc_factors(cfg, side_hi, vars)
         ghosts_hi = jnp.where(is_edge, mirror_hi, recv_from_next)
         dst_start = jnp.where(is_edge, ne + g, np.int32(size - g))
-        buf = lax.dynamic_update_slice_in_dim(buf, ghosts_hi, dst_start,
-                                              axis=arr_ax + 1)
     else:
         mirror_hi = jnp.flip(last_real, axis=arr_ax + 1) * _bc_factors(cfg, side_hi, vars)
         ghosts_hi = jnp.where(idx == n_dev - 1, mirror_hi, recv_from_next)
-        buf = _set_slab(buf, arr_ax, size - g, size, ghosts_hi)
+        dst_start = np.int32(size - g)
 
-    return state._replace(**{v: buf[k] for k, v in enumerate(vars)})
+    updates = {}
+    for k, (v, a) in enumerate(zip(vars, arrs)):
+        a = lax.dynamic_update_slice_in_dim(a, ghosts_lo[k], np.int32(0),
+                                            axis=arr_ax)
+        a = lax.dynamic_update_slice_in_dim(a, ghosts_hi[k], dst_start,
+                                            axis=arr_ax)
+        updates[v] = a
+    return state._replace(**updates)
