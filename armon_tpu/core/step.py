@@ -164,7 +164,8 @@ def fused_cycle_step(cfg, state, pair, dt):
     rho, u, v, E, p_stale, local_min = fused_cycle(
         cfg, x_first, state.rho, state.u, state.v, state.E,
         dt * T(fx), dt * T(fy), n_real=_shard_n_real(cfg),
-        bc_in_kernel=in_kernel, interpret=_pallas_interpret(cfg))
+        bc_in_kernel=in_kernel, in_place=not in_kernel,
+        interpret=_pallas_interpret(cfg))
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 

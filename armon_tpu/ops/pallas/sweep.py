@@ -723,13 +723,16 @@ def _cycle_kernel(cfg, chunk, x_first, bc_in_kernel, nci, rows_tot, interp,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "x_first", "bc_in_kernel",
-                                             "interpret"))
+                                             "in_place", "interpret"))
 def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
-                bc_in_kernel=False, interpret=False):
+                bc_in_kernel=False, in_place=False, interpret=False):
     """One full cycle (two sweeps) in a single fused kernel pass.
     With `bc_in_kernel` (single-device only, nghost >= 4) the kernel applies
     the mirror BC to its input tiles itself; otherwise BOTH ghost bands of
     rho/u/v/E must be pre-filled from the pre-cycle state.
+    `in_place`: the four field outputs alias their inputs (the mesh path's
+    while-carry copy elimination) — halo rows come from `_halo_strips` side
+    buffers so no grid step reads main-array rows outside its own block.
     Returns (rho, u, v, E, p_stale, local_dt_min). `n_real` = this
     shard's (nx, ny) real extent (traced; defaults to cfg.n_local)."""
     rows, cols = rho.shape
@@ -759,17 +762,28 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
     def below_map(i):
         return _im(jnp.minimum((i + 1) * (chunk // halo_blk), blocks_tot - 1), 0)
 
-    above = pl.BlockSpec((halo_blk, cols), above_map, memory_space=pltpu.VMEM)
-    below = pl.BlockSpec((halo_blk, cols), below_map, memory_space=pltpu.VMEM)
-
     smem = pl.BlockSpec((1, 1), lambda i: _im(0, 0), memory_space=pltpu.SMEM)
     lim_spec = pl.BlockSpec((1, 2), lambda i: _im(0, 0),
                             memory_space=pltpu.SMEM)
     in_specs = [smem, smem, lim_spec]
     args = [dtx, dty, lim_arr]
-    for a in (rho, u, v, E):
-        in_specs += [cur, above, below]
-        args += [a, a, a]
+    aliases = {}
+    if in_place:
+        strip = pl.BlockSpec((halo_blk, cols), lambda i: _im(i, 0),
+                             memory_space=pltpu.VMEM)
+        for k, a in enumerate((rho, u, v, E)):
+            above_s, below_s = _halo_strips(a, chunk, rows)
+            in_specs += [cur, strip, strip]
+            aliases[3 + 3 * k] = k
+            args += [a, above_s, below_s]
+    else:
+        above = pl.BlockSpec((halo_blk, cols), above_map,
+                             memory_space=pltpu.VMEM)
+        below = pl.BlockSpec((halo_blk, cols), below_map,
+                             memory_space=pltpu.VMEM)
+        for a in (rho, u, v, E):
+            in_specs += [cur, above, below]
+            args += [a, a, a]
 
     kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first,
                                bc_in_kernel, int(nci), rows, interpret)
@@ -781,6 +795,7 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
                                             memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((rows, cols), cfg.dtype)] * 5 + [
             jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
+        input_output_aliases=aliases,
         compiler_params=cparams,
         interpret=interpret,
     )(*args)
