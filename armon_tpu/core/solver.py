@@ -548,7 +548,8 @@ def armon(params: ArmonParameters, checkpoint=None,
     if params.write_output or params.write_slices:
         os.makedirs(params.output_dir, exist_ok=True)
         path = os.path.join(params.output_dir, params.output_file)
-        if params.write_output and cfg.spmd and params.use_MPI:
+        per_shard = params.write_output and cfg.spmd and params.use_MPI
+        if per_shard:
             # Reference distributed-output behavior (`src/io.jl:46-75`):
             # one `_<cx>×<cy>` file per shard, NO global gather — host
             # memory stays O(shard) at any mesh/grid scale.
@@ -558,18 +559,19 @@ def armon(params: ArmonParameters, checkpoint=None,
                 with_ghosts=params.write_ghosts)
             if params.silent < 2:
                 print(f"\nWrote to files {paths[0]} .. {paths[-1]}")
-        elif params.write_output:
-            from ..io.output import write_state_file
+        if (params.write_output and not per_shard) or params.write_slices:
             host = gather_state(params, state)
-            write_state_file(cfg, host, path,
-                             precision=params.output_precision,
-                             with_ghosts=params.write_ghosts)
-            if params.silent < 2:
-                print(f"\nWrote to file {path}")
-        if params.write_slices:
-            from ..io.slices import write_slices_files
-            write_slices_files(cfg, gather_state(params, state), path,
-                               precision=params.output_precision)
+            if params.write_output and not per_shard:
+                from ..io.output import write_state_file
+                write_state_file(cfg, host, path,
+                                 precision=params.output_precision,
+                                 with_ghosts=params.write_ghosts)
+                if params.silent < 2:
+                    print(f"\nWrote to file {path}")
+            if params.write_slices:
+                from ..io.slices import write_slices_files
+                write_slices_files(cfg, host, path,
+                                   precision=params.output_precision)
 
     if params.silent < 3 and cycles > 0:
         _print_summary(stats, params)

@@ -137,26 +137,16 @@ def fused_sweep_step(cfg, state, axis: Axis, dt, last=True):
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 
-def bc_in_kernel(cfg) -> bool:
-    """Single-device runs fold the mirror-BC ghost fill into the fused
-    cycle kernel (no XLA ghost-band copies on the hot path); meshes still
-    need the XLA-level ppermute exchange. nghost >= 4 so the in-kernel
-    4-wide mirror band exists."""
-    return not cfg.spmd and cfg.nghost >= 4
-
-
 def fused_cycle_step(cfg, state, pair, dt):
-    """Two consecutive sweeps covering both axes in ONE kernel pass
-    (`ops/pallas/sweep.py:fused_cycle`). Both ghost bands are pre-filled
-    from the pre-pair state — in-kernel on a single device, via the XLA
-    exchange on a mesh: valid because a sweep commutes bitwise with the
-    orthogonal ghost fill (see the kernel docstring)."""
+    """Two consecutive sweeps covering both axes in ONE kernel pass — the
+    MESH path (`ops/pallas/sweep.py:fused_cycle`): one halo-exchange round
+    per cycle instead of one per sweep. Both ghost bands are pre-filled
+    from the pre-pair state: valid because a sweep commutes bitwise with
+    the orthogonal ghost fill (see the kernel docstring)."""
     from ..ops.pallas.sweep import fused_cycle
     T = np.dtype(cfg.dtype).type
-    in_kernel = bc_in_kernel(cfg)
-    if not in_kernel:
-        state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
-        state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
+    state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
+    state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
     (ax0, f0), (ax1, f1) = pair
     x_first = ax0 is Axis.X
     fx = f0 if x_first else f1
@@ -164,8 +154,7 @@ def fused_cycle_step(cfg, state, pair, dt):
     rho, u, v, E, p_stale, local_min = fused_cycle(
         cfg, x_first, state.rho, state.u, state.v, state.E,
         dt * T(fx), dt * T(fy), n_real=_shard_n_real(cfg),
-        bc_in_kernel=in_kernel, in_place=not in_kernel,
-        interpret=_pallas_interpret(cfg))
+        in_place=True, interpret=_pallas_interpret(cfg))
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 

@@ -14,10 +14,13 @@ One kernel instance executes the WHOLE sweep for its tile in VMEM:
     (+ the CFL dt per-tile min-reduction of `src/reductions.jl:2-20`)
 
 so per sweep each field crosses HBM once (read rho,u,v,E + write
-rho,u,v,E,p) instead of once per kernel. Ghost-band filling: on a single
-device the mirror BC is applied IN-KERNEL on the loaded tiles
-(`_border_refill`, zero XLA ops on the hot path); on a device mesh the
-halo exchange (ppermute) stays outside in XLA.
+rho,u,v,E,p) instead of once per kernel, and the field outputs ALIAS their
+input buffers (`fused_sweep_ip`) so the jitted time loop carries zero
+full-array copies. Ghost-band filling stays outside in XLA: O(boundary)
+in-place slab writes (mirror BC) or the mesh halo exchange (ppermute).
+An in-kernel mirror-BC variant was built and measured in round 2: the
+lane-misaligned border concats cost more than the XLA slab writes they
+replaced, so it was removed.
 
 Temporal blocking (two cycles per pass) was implemented and benched in
 round 1 (+5% at mid sizes, loses at 8192²) and removed: the kernel is
@@ -650,7 +653,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
 
 # ------------------------------------------------- fully-fused cycle kernel
 
-def _cycle_kernel(cfg, chunk, x_first, bc_in_kernel, nci, rows_tot, interp,
+def _cycle_kernel(cfg, chunk, x_first, interp,
                   dtx_ref, dty_ref, lim_ref,
                   rho_c, rho_a, rho_b, u_c, u_a, u_b,
                   v_c, v_a, v_b, E_c, E_a, E_b,
@@ -680,14 +683,6 @@ def _cycle_kernel(cfg, chunk, x_first, bc_in_kernel, nci, rows_tot, interp,
     u = halo_cat(u_c[:], u_a[:], u_b[:])
     v = halo_cat(v_c[:], v_a[:], v_b[:])
     E = halo_cat(E_c[:], E_a[:], E_b[:])
-
-    if bc_in_kernel:
-        # Single-device path: the mirror-BC ghost fill happens here, on the
-        # loaded tile, instead of as XLA ops between kernel launches (which
-        # cost full-array ghost-band update copies per cycle). Bitwise
-        # identical to the XLA fill for every consumed value.
-        rho, u, v, E = _border_refill(cfg, ci, nci, chunk, rows_tot,
-                                      (rho, u, v, E), hbuf=4)
 
     def shx(a, k):
         # np.int32: under jax_enable_x64 a bare int becomes an i64
@@ -722,17 +717,16 @@ def _cycle_kernel(cfg, chunk, x_first, bc_in_kernel, nci, rows_tot, interp,
     dtmin_o[:] = jnp.maximum(dtmin_o[:], m)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "x_first", "bc_in_kernel",
+@functools.partial(jax.jit, static_argnames=("cfg", "x_first",
                                              "in_place", "interpret"))
 def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
-                bc_in_kernel=False, in_place=False, interpret=False):
-    """One full cycle (two sweeps) in a single fused kernel pass.
-    With `bc_in_kernel` (single-device only, nghost >= 4) the kernel applies
-    the mirror BC to its input tiles itself; otherwise BOTH ghost bands of
-    rho/u/v/E must be pre-filled from the pre-cycle state.
-    `in_place`: the four field outputs alias their inputs (the mesh path's
-    while-carry copy elimination) — halo rows come from `_halo_strips` side
-    buffers so no grid step reads main-array rows outside its own block.
+                in_place=False, interpret=False):
+    """One full cycle (two sweeps) in a single fused kernel pass — the
+    MESH-path kernel (one halo-exchange round per cycle). BOTH ghost bands
+    of rho/u/v/E must be pre-filled from the pre-cycle state.
+    `in_place`: the four field outputs alias their inputs (while-carry copy
+    elimination) — halo rows come from `_halo_strips` side buffers so no
+    grid step reads main-array rows outside its own block.
     Returns (rho, u, v, E, p_stale, local_dt_min). `n_real` = this
     shard's (nx, ny) real extent (traced; defaults to cfg.n_local)."""
     rows, cols = rho.shape
@@ -741,13 +735,10 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
     if n_real is None:
         n_real = jnp.asarray(cfg.n_local, jnp.int32)
     lim_arr = jnp.asarray(n_real, jnp.int32).reshape(1, 2)
-    from ...parallel.blocking import (VMEM_BUDGET, cycle_chunk_rows,
-                                      cycle_safe_chunk)
+    from ...parallel.blocking import VMEM_BUDGET, cycle_chunk_rows
     cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
     chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize,
                              getattr(cfg, "block_size", None))
-    if bc_in_kernel:
-        chunk = cycle_safe_chunk(rows, chunk, cfg.nghost)
     halo_blk = 8
     nci = pl.cdiv(rows, chunk)
     grid = (nci,)
@@ -785,8 +776,7 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
             in_specs += [cur, above, below]
             args += [a, a, a]
 
-    kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first,
-                               bc_in_kernel, int(nci), rows, interpret)
+    kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first, interpret)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -802,82 +792,3 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
 
     rho2, u2, v2, E2, p_st, dt_tiles = out
     return rho2, u2, v2, E2, p_st, _dt_from_tiles(cfg, dt_tiles)
-
-
-# -------------------------------------------- temporally-blocked pair kernel
-
-def _border_refill(cfg, ci, nci, chunk, rows_tot, fields, hbuf):
-    """In-kernel ghost (mirror BC) fill of the 4 innermost ghost cells per
-    side — the exact values `ops.boundary.boundary_conditions` would write
-    (`src/halo_exchange.jl:2-36`); only the innermost `stencil depth = 4`
-    cells of the band are ever consumed, so filling those is bitwise
-    equivalent to the XLA-level g-deep fill for every consumed value.
-
-    Runs at the top of the single-device cycle kernel, which moves the
-    whole ghost fill off the XLA hot path (no full-array ghost-band update
-    copies between kernel launches).
-
-    `fields` = (rho, u, v, E) buffers of shape (chunk + 2*hbuf, W);
-    `hbuf` = halo depth of the buffer (4 for the cycle kernel).
-    Requires nghost >= 4 and row-chunking such that the border bands and
-    their consumers live in the first/last tile
-    (`parallel.blocking.cycle_safe_chunk`)."""
-    from ...utils.enums import Side
-    T = np.dtype(cfg.dtype).type
-    g = cfg.nghost
-    H2 = hbuf
-    W = fields[0].shape[1]
-
-    def flip4(a, axis, start):
-        # Mosaic has no `rev` lowering; a 4-wide mirror assembles directly.
-        parts = [jax.lax.slice_in_dim(a, start + k, start + k + 1, axis=axis)
-                 for k in (3, 2, 1, 0)]
-        return jnp.concatenate(parts, axis)
-
-    def facs(side):
-        u_f, v_f = cfg.test.boundary_factors(side)
-        return (T(1.0), T(u_f), T(v_f), T(1.0))
-
-    # --- X borders: static column slices, every tile (full width)
-    fl = facs(Side.LEFT)
-    fr = facs(Side.RIGHT)
-    fixed = []
-    for k, a in enumerate(fields):
-        left = flip4(a, 1, g) * fl[k]
-        right = flip4(a, 1, W - g - 4) * fr[k]
-        # no zero-width segments: Mosaic rejects empty slices (g == 4 makes
-        # the outer-ghost remainders empty)
-        parts = ([a[:, :g - 4]] if g > 4 else []) + \
-            [left, a[:, g:W - g], right] + \
-            ([a[:, W - g + 4:]] if g > 4 else [])
-        fixed.append(jnp.concatenate(parts, 1))
-    fields = fixed
-
-    # --- Y borders: only the first / last chunk hold the global rows.
-    fb = facs(Side.BOTTOM)
-    ft = facs(Side.TOP)
-
-    def fix_bottom(fs):
-        out = []
-        for k, a in enumerate(fs):
-            # global ghost rows [g-4, g) = buffer rows [H2+g-4, H2+g)
-            band = flip4(a, 0, H2 + g) * fb[k]
-            out.append(jnp.concatenate(
-                [a[:H2 + g - 4], band, a[H2 + g:]], 0))
-        return tuple(out)
-
-
-    def fix_top(fs):
-        S = (nci - 1) * chunk
-        top0 = rows_tot - g - S + H2      # buffer row of global row rows_tot-g
-        out = []
-        for k, a in enumerate(fs):
-            band = flip4(a, 0, top0 - 4) * ft[k]
-            out.append(jnp.concatenate(
-                [a[:top0], band, a[top0 + 4:]], 0))
-        return tuple(out)
-
-    fields = jax.lax.cond(ci == 0, fix_bottom, lambda fs: tuple(fs), tuple(fields))
-    fields = jax.lax.cond(ci == nci - 1, fix_top, lambda fs: tuple(fs),
-                          tuple(fields))
-    return fields

@@ -98,22 +98,6 @@ def cycle_chunk_rows(rows: int, cols: int, itemsize: int,
     return chunk
 
 
-def cycle_safe_chunk(rows: int, chunk: int, nghost: int) -> int:
-    """Chunk height for the cycle kernel with IN-KERNEL boundary fill: the
-    4 innermost ghost rows per side AND every real row whose stencil reads
-    them must land in the first/last tile. Bottom needs chunk >= nghost+4;
-    top needs the tail (rows % chunk, or chunk when it divides) >= nghost+4."""
-    need = nghost + 4
-    chunk = max(need, min(chunk, _round_up(rows, 8)))
-    c = chunk
-    while c >= need:
-        rem = rows % c
-        if rem == 0 or rem >= need:
-            return c
-        c -= 8
-    return _round_up(rows, 8)  # single chunk
-
-
 def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
                     n_fields: int = 11, comm_vars: int = 7,
                     carry_fields: int = 5) -> dict:

@@ -61,8 +61,8 @@ def main():
     ap.add_argument("--strict", action="store_true",
                     help="strict IEEE divides (use_fast_math=False)")
     ap.add_argument("--out", default="BENCH_CONFIGS.md",
-                    help="per-config table output (kept separate from the
-                         hand-maintained BENCH_NOTES.md)")
+                    help="per-config table output (kept separate from "
+                         "the hand-maintained BENCH_NOTES.md)")
     args = ap.parse_args()
     args.fast = not args.strict
     dtype = np.float32 if args.dtype == "f32" else np.float64

@@ -3,8 +3,7 @@ jitted solver loop: while-loop carry copies vs ghost-fill XLA ops vs
 in-kernel BC cost.
 
 Times, at N (default 8192), per cycle:
-  k_bc      bare kernel, bc_in_kernel=True
-  k_nobc    bare kernel, bc_in_kernel=False (ghosts stale — timing only)
+  k         bare cycle kernel (ghosts pre-filled assumed — timing only)
   pyloop    python loop of donated jitted (XLA ghost fill + kernel)
   pyloop_k  python loop of donated jitted (in-kernel BC, no XLA fill)
   whileloop the production jit loop (bench path)
@@ -62,12 +61,8 @@ def main():
     def report(label, t):
         print(f"  {label:34s} {cells / t / 1e9:7.3f} Gcells/s ({t * 1e3:.3f} ms)")
 
-    t = timeit(lambda: fused_cycle(cfg, True, rho, u, v, E, dt, dt,
-                                   bc_in_kernel=True), sync)
-    report("bare kernel, in-kernel BC", t)
-    t = timeit(lambda: fused_cycle(cfg, True, rho, u, v, E, dt, dt,
-                                   bc_in_kernel=False), sync)
-    report("bare kernel, no BC at all", t)
+    t = timeit(lambda: fused_cycle(cfg, True, rho, u, v, E, dt, dt), sync)
+    report("bare cycle kernel", t)
 
     # python-loop variants with donated carries
     def _mkstate(rho, u, v, E):
@@ -81,18 +76,11 @@ def main():
         s = boundary_conditions(cfg, s, Axis.X, ("rho", "u", "v", "E"))
         s = boundary_conditions(cfg, s, Axis.Y, ("rho", "u", "v", "E"))
         r2, u2, v2, E2, p2, lm = fused_cycle(cfg, True, s.rho, s.u, s.v, s.E,
-                                             dt, dt, bc_in_kernel=False)
+                                             dt, dt)
         return r2, u2, v2, E2, lm
 
     cyc_xla_fill_d = jax.jit(cyc_xla_fill, donate_argnums=(0, 1, 2, 3))
 
-    @jax.jit
-    def cyc_inkernel(rho, u, v, E):
-        r2, u2, v2, E2, p2, lm = fused_cycle(cfg, True, rho, u, v, E,
-                                             dt, dt, bc_in_kernel=True)
-        return r2, u2, v2, E2, lm
-
-    cyc_inkernel_d = jax.jit(cyc_inkernel, donate_argnums=(0, 1, 2, 3))
 
     def pyloop(fn):
         a, b, c, d = rho + 0, u + 0, v + 0, E + 0
@@ -107,7 +95,6 @@ def main():
         return (time.perf_counter() - t0) / reps
 
     report("pyloop donated, XLA ghost fill", pyloop(cyc_xla_fill_d))
-    report("pyloop donated, in-kernel BC", pyloop(cyc_inkernel_d))
 
     # the production while-loop (current bench path)
     from armon_tpu.core.solver import make_init, make_jit_loop

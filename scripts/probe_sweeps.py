@@ -76,8 +76,7 @@ def main():
         except Exception as e:
             print(f"  Y sweep tile_c={label} FAILED: {str(e)[:150]}")
 
-    tcyc = timeit(lambda: fused_cycle(cfg, True, rho, u, v, E, dt, dt,
-                                      bc_in_kernel=True), sync)
+    tcyc = timeit(lambda: fused_cycle(cfg, True, rho, u, v, E, dt, dt), sync)
     print(f"  fused cycle (full-width):  {cells / tcyc / 1e9:7.3f} Gcells/s "
           f"({tcyc * 1e3:.3f} ms)  [2 sweeps: eff per-sweep "
           f"{2 * cells / tcyc / 1e9:.3f}]")
