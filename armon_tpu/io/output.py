@@ -129,11 +129,21 @@ def count_differences(cfg, ours: dict, ref: dict, atol, rtol):
     golden regression (`reference_functions.jl:69-121`): a cell differs when
     ``|ref - ours| > atol + rtol*|ref|`` (isapprox semantics), and the
     max relative diff only counts differing cells."""
+    from . import native
     total = 0
     max_diff = 0.0
     details = {}
     for var in SAVED_VARS:
         a, b = ref[var], ours[var]
+        if (np.dtype(a.dtype).itemsize == 8 and a.dtype == b.dtype
+                and native.available()):
+            # Native comparator (same isapprox semantics, C loop)
+            cnt, m = native.count_differences(a, b, atol, rtol)
+            if cnt:
+                max_diff = max(max_diff, m)
+                details[var] = (cnt, m)
+            total += cnt
+            continue
         err = np.abs(a - b)
         # Julia isapprox: |a-b| <= max(atol, rtol*max(|a|,|b|))
         tol = np.maximum(atol, rtol * np.maximum(np.abs(a), np.abs(b)))
