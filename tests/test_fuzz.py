@@ -61,15 +61,24 @@ def test_random_state_sweep_equivalence(seed):
         r3, u3, v3, E3, p3, dtmin = fused_sweep(
             cfg, axis, sBC.rho, sBC.u, sBC.v, sBC.E, dt, interpret=True)
 
+        # The production in-place kernel (aliased buffers, strip halos)
+        # must produce the SAME BITS as the reference-layout kernel.
+        from armon_tpu.ops.pallas.sweep import fused_sweep_ip
+        r4, u4, v4, E4, p4, dtmin4 = fused_sweep_ip(
+            cfg, axis, sBC.rho, sBC.u, sBC.v, sBC.E, dt, interpret=True)
+
         g = cfg.nghost
         rs = (slice(g, -g), slice(g, -g))
-        for name, a, b in [("rho", s2.rho, r3), ("u", s2.u, u3),
-                           ("v", s2.v, v3), ("E", s2.E, E3)]:
+        for name, a, b, c in [("rho", s2.rho, r3, r4), ("u", s2.u, u3, u4),
+                              ("v", s2.v, v3, v4), ("E", s2.E, E3, E4)]:
             a = np.asarray(a)[rs]
             b = np.asarray(b)[rs]
             assert np.allclose(a, b, rtol=1e-12, atol=1e-14), \
                 f"{scheme}/{limiter}/{projection} {axis} {name}"
+            assert np.array_equal(b, np.asarray(c)[rs]), \
+                f"in-place kernel diverges: {scheme}/{projection} {axis} {name}"
         assert np.isfinite(float(dtmin))
+        assert float(dtmin4) == float(dtmin)
 
 
 def test_profiler_trace_smoke(tmp_path):
