@@ -160,12 +160,26 @@ def _make_div_correction(div):
     return div_c
 
 
+def _div_shared(div, b):
+    """a -> a/b with the Newton-refined reciprocal of b formed ONCE under
+    fast_math (shared across every numerator over the same denominator);
+    exact IEEE division otherwise. Bitwise identical to calling `div` per
+    numerator in both modes — it just guarantees the reuse instead of
+    relying on Mosaic CSE."""
+    if div is _EXACT_DIV:
+        return lambda a: a / b
+    r = pl.reciprocal(b, approx=True)
+    r = r * (2.0 - b * r)
+    return lambda a: a * r
+
+
 def _godunov(rc_l, rc_r, u_i, u_im, p_i, p_im, div=None):
     # src/riemann_schemes.jl:21-30 (rc = rho*c acoustic impedances)
     if div is None:
         div = _EXACT_DIV
-    ustar = div(rc_l * u_im + rc_r * u_i + (p_im - p_i), rc_l + rc_r)
-    pstar = div(rc_r * p_im + rc_l * p_i + rc_l * rc_r * (u_im - u_i), rc_l + rc_r)
+    over = _div_shared(div, rc_l + rc_r)
+    ustar = over(rc_l * u_im + rc_r * u_i + (p_im - p_i))
+    pstar = over(rc_r * p_im + rc_l * p_i + rc_l * rc_r * (u_im - u_i))
     return ustar, pstar
 
 
@@ -185,13 +199,16 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
     # EOS (src/kernels.jl:4-13) — from the input (pre-sweep) state.
     p, rc, c = _eos_prc(cfg, T, rho, uax, uot, E, div, need_c=need_c)
 
+    # Cell mass (src/kernels.jl:60) — hoisted: the GAD theta term reads it
+    # and its -1 shift (sh is a permutation, so sh(dm) == sh(rho)*dx bitwise).
+    dm = rho * dx
+
     # ---- Riemann fluxes. sh is a permutation, so sh(rc) == sh(rho)*sh(c)
     # bitwise — the shifted impedances equal the reference's rho_m*c_m.
     if cfg.riemann == "Godunov":
         ustar, pstar = _godunov(sh(rc, -1), rc,
                                 uax, sh(uax, -1), p, sh(p, -1), div)
     else:  # GAD (src/riemann_schemes.jl:55-104)
-        rho_m = sh(rho, -1)
         rc_l = sh(rc, -1)
         u_m = sh(uax, -1)
         p_m = sh(p, -1)
@@ -202,29 +219,43 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
         # commutes exactly with elementwise math: deriving them by shifting
         # the i-1/2 solve is bitwise identical everywhere (wrapped lanes
         # included) while removing 2 of the 3 Godunov solves and 8 rolls.
-        us_im, ps_im = sh(us_i, -1), sh(ps_i, -1)
-        us_ip, ps_ip = sh(us_i, 1), sh(ps_i, 1)
+        # The same argument collapses the limiter-ratio numerators onto
+        # shifts of the four blend differences (us_ip - uax == sh(e_u, 1),
+        # u_m - us_im == sh(d_u, -1), ...) — 4 fewer subtractions, and the
+        # neighbour interface solves are never materialized at all.
+        e_u = us_i - u_m    # interface-minus-left, the r_um denominator
+        e_p = ps_i - p_m
+        d_u = uax - us_i    # right-minus-interface, the r_up denominator
+        d_p = p - ps_i
 
         div_r = _make_div_correction(div)
         eps = T(1e-6)
-        r_um = _limiter(cfg.limiter, div_r(us_ip - uax, us_i - u_m + eps))
-        r_pm = _limiter(cfg.limiter, div_r(ps_ip - p, ps_i - p_m + eps))
-        r_up = _limiter(cfg.limiter, div_r(u_m - us_im, uax - us_i + eps))
-        r_pp = _limiter(cfg.limiter, div_r(p_m - ps_im, p - ps_i + eps))
+        r_um = _limiter(cfg.limiter, div_r(sh(e_u, 1), e_u + eps))
+        r_pm = _limiter(cfg.limiter, div_r(sh(e_p, 1), e_p + eps))
+        r_up = _limiter(cfg.limiter, div_r(sh(d_u, -1), d_u + eps))
+        r_pp = _limiter(cfg.limiter, div_r(sh(d_p, -1), d_p + eps))
 
-        dm_l = rho_m * dx
-        dm_r = rho * dx
-        Dm = (dm_l + dm_r) / 2
-        theta = T(0.5) * (1 - (rc_l + rc) / 2 * div_r(dt, Dm))
+        dm_l = sh(dm, -1)
+        if div is _EXACT_DIV:
+            Dm = (dm_l + dm) / 2
+            theta = T(0.5) * (1 - (rc_l + rc) / 2 * div_r(dt, Dm))
+        else:
+            # fast_math: the two /2 cancel — theta = (1 - S*dt/D)/2 with
+            # S = rc_l+rc, D = dm_l+dm; ~1 ulp from the reference form on a
+            # 2nd-order correction factor (same argument as div_r itself).
+            theta = T(0.5) * (1 - (rc_l + rc) * div_r(dt, dm_l + dm))
 
-        ustar = us_i + theta * (r_up * (uax - us_i) - r_um * (us_i - u_m))
-        pstar = ps_i + theta * (r_pp * (p - ps_i) - r_pm * (ps_i - p_m))
+        ustar = us_i + theta * (r_up * d_u - r_um * e_u)
+        pstar = ps_i + theta * (r_pp * d_p - r_pm * e_p)
 
     # ---- Lagrangian cell update (src/kernels.jl:58-68)
     us_p = sh(ustar, 1)
     ps_p = sh(pstar, 1)
-    dm = rho * dx
-    rho1 = div(dm, dx + dt * (us_p - ustar))
+    # dX = post-Lagrange cell length (src/projection_schemes.jl:29) — also
+    # the cell_update denominator, and the euler_2nd dxl lengths are its
+    # upwind shifts (permutations commute with elementwise math, bitwise).
+    dX = dx + dt * (us_p - ustar)
+    rho1 = div(dm, dX)
     dt_dm = div(dt, dm)
     uax1 = uax + dt_dm * (pstar - ps_p)
     E1 = E + dt_dm * (pstar * ustar - ps_p * us_p)
@@ -244,9 +275,12 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
         def rd(a, o):
             return jnp.where(up, sh(a, o - 1), sh(a, o))
         dxe = jnp.where(up, -(dx - dt * sh(ustar, -1)), dx + dt * sh(ustar, 1))
-        dxl_m = dx + dt * (rd(ustar, 0) - rd(ustar, -1))
-        dxl = dx + dt * (rd(ustar, 1) - rd(ustar, 0))
-        dxl_p = dx + dt * (rd(ustar, 2) - rd(ustar, 1))
+        # dxl_o == dx + dt*(rd(ustar,o+1) - rd(ustar,o)) == rd(dX, o):
+        # both rd branches are shifts of the SAME elementwise expression dX,
+        # and where() selects lanewise — bitwise identical, 9 fewer ops.
+        dxl_m = rd(dX, -1)
+        dxl = rd(dX, 0)
+        dxl_p = rd(dX, 1)
         div_c = _make_div_correction(div)
         r_m = div_c(2 * dxl, dxl + dxl_m)
         r_p = div_c(2 * dxl, dxl + dxl_p)
@@ -290,16 +324,16 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
         def div_dx(a):
             return a * inv_dx
 
-    dX = dx + dt * (us_p - ustar)
     tmp_rho = div_dx(dX * rho1 - (sh(adv_rho, 1) - adv_rho))
     tmp_ur = div_dx(dX * rho1 * uax1 - (sh(adv_ur, 1) - adv_ur))
     tmp_vr = div_dx(dX * rho1 * uot - (sh(adv_vr, 1) - adv_vr))
     tmp_Er = div_dx(dX * rho1 * E1 - (sh(adv_Er, 1) - adv_Er))
 
     rho2 = tmp_rho
-    uax2 = div(tmp_ur, tmp_rho)
-    uot2 = div(tmp_vr, tmp_rho)
-    E2 = div(tmp_Er, tmp_rho)
+    over_rho = _div_shared(div, tmp_rho)
+    uax2 = over_rho(tmp_ur)
+    uot2 = over_rho(tmp_vr)
+    E2 = over_rho(tmp_Er)
     return rho2, uax2, uot2, E2, p, c
 
 
@@ -324,10 +358,11 @@ def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None):
     cols = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + col0
     real = ((rows >= g) & (rows < g + ny) & (cols >= g) & (cols < g + nx))
     zero = T(0.0)
-    mx = jnp.where(real, jnp.maximum(jnp.abs(u_new + c_old),
-                                     jnp.abs(u_new - c_old)), zero)
-    my = jnp.where(real, jnp.maximum(jnp.abs(v_new + c_old),
-                                     jnp.abs(v_new - c_old)), zero)
+    # max(|u+c|, |u-c|) == |u| + c bitwise for c >= 0: the winning branch
+    # is the single rounded addition of |u| and c either way (IEEE a-b ==
+    # a+(-b); negation exact), and NaN propagates identically.
+    mx = jnp.where(real, jnp.abs(u_new) + c_old, zero)
+    my = jnp.where(real, jnp.abs(v_new) + c_old, zero)
     half = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) < 4
     return jnp.where(half, jnp.max(mx), jnp.max(my))
 

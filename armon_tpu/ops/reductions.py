@@ -62,7 +62,10 @@ def dt_cfl_min(cfg, state):
 
     Restructured as min(dx/max|u±c|, dy/max|v±c|): bitwise identical to the
     per-cell min(dx/..., dy/...) form (IEEE division is monotone in the
-    denominator) with two divisions total instead of two per cell."""
+    denominator) with two divisions total instead of two per cell; and
+    max(|u+c|, |u-c|) == |u| + c bitwise for c >= 0 (the winning branch is
+    the single rounded addition of |u| and c either way; NaN propagates
+    identically)."""
     T = np.dtype(cfg.dtype).type
     dx, dy = T(cfg.dx), T(cfg.dy)
     if _uneven(cfg):
@@ -71,13 +74,13 @@ def dt_cfl_min(cfg, state):
         u, v, c = state.u, state.v, state.c
         mask = _real_mask(cfg, u.shape)
         zero = T(0.0)
-        mx = jnp.where(mask, jnp.maximum(jnp.abs(u + c), jnp.abs(u - c)), zero)
-        my = jnp.where(mask, jnp.maximum(jnp.abs(v + c), jnp.abs(v - c)), zero)
+        mx = jnp.where(mask, jnp.abs(u) + c, zero)
+        my = jnp.where(mask, jnp.abs(v) + c, zero)
         return jnp.minimum(dx / jnp.max(mx), dy / jnp.max(my))
     r = real_slice(cfg)
     u, v, c = state.u[r], state.v[r], state.c[r]
-    mx = jnp.max(jnp.maximum(jnp.abs(u + c), jnp.abs(u - c)))
-    my = jnp.max(jnp.maximum(jnp.abs(v + c), jnp.abs(v - c)))
+    mx = jnp.max(jnp.abs(u) + c)
+    my = jnp.max(jnp.abs(v) + c)
     return jnp.minimum(dx / mx, dy / my)
 
 
