@@ -183,7 +183,8 @@ def _godunov(rc_l, rc_r, u_i, u_im, p_i, p_im, div=None):
     return ustar, pstar
 
 
-def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
+def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
+                slope_shift=False):
     """Full sweep on one tile. `sh(a, k)` reads at offset +k along the sweep
     axis. `uax` is the velocity along the axis, `uot` the other one, `dx` the
     cell size along the axis (a T scalar). `div` is the division primitive:
@@ -191,6 +192,9 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
     reference's own default build uses @fastmath, src/generic_kernel.jl:3).
     `need_c=False` lets the fast path skip forming the sound speed itself
     (only the CFL reduction consumes it — returns c_stale=None then).
+    `slope_shift` picks between two bitwise-identical euler_2nd slope
+    formulations (see the GAD/euler_2nd branch): True wins on the sublane
+    axis, False on the lane axis.
     Returns (rho', uax', uot', E', p_stale, c_stale)."""
     T = np.dtype(cfg.dtype).type
     if div is None:
@@ -274,36 +278,74 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True):
     else:
         def rd(a, o):
             return jnp.where(up, sh(a, o - 1), sh(a, o))
-        dxe = jnp.where(up, -(dx - dt * sh(ustar, -1)), dx + dt * sh(ustar, 1))
-        # dxl_o == dx + dt*(rd(ustar,o+1) - rd(ustar,o)) == rd(dX, o):
-        # both rd branches are shifts of the SAME elementwise expression dX,
-        # and where() selects lanewise — bitwise identical, 9 fewer ops.
-        dxl_m = rd(dX, -1)
-        dxl = rd(dX, 0)
-        dxl_p = rd(dX, 1)
         div_c = _make_div_correction(div)
-        r_m = div_c(2 * dxl, dxl + dxl_m)
-        r_p = div_c(2 * dxl, dxl + dxl_p)
-
-        def slope(m, i, pp):
-            du_p = r_p * (pp - i)
-            du_m = r_m * (i - m)
-            sgn = jnp.sign(du_p)
-            return sgn * jnp.maximum(0.0, jnp.minimum(sgn * du_p, sgn * du_m))
-
         # Upwind select commutes exactly with the product (same mask both
         # factors; shifts are permutations): form the conserved products
         # once, then shift — bitwise identical, 6 fewer multiplies.
         ru1, rv1, rE1 = rho1 * uax1, rho1 * uot, rho1 * E1
-        rr_m, rr_i, rr_p = rd(rho1, -1), rd(rho1, 0), rd(rho1, 1)
-        ru_m, ru_i, ru_p = rd(ru1, -1), rd(ru1, 0), rd(ru1, 1)
-        rv_m, rv_i, rv_p = rd(rv1, -1), rd(rv1, 0), rd(rv1, 1)
-        rE_m, rE_i, rE_p = rd(rE1, -1), rd(rE1, 0), rd(rE1, 1)
+        # dxl == dx + dt*(rd(ustar,1) - rd(ustar,0)) == rd(dX, 0): both rd
+        # branches are shifts of the SAME elementwise expression dX, and
+        # where() selects lanewise — bitwise identical.
+        dxl = rd(dX, 0)
 
-        sl_rho = slope(rr_m, rr_i, rr_p)
-        sl_ur = slope(ru_m, ru_i, ru_p)
-        sl_vr = slope(rv_m, rv_i, rv_p)
-        sl_Er = slope(rE_m, rE_i, rE_p)
+        if slope_shift:
+            # Sublane (Y) form. The whole limited-slope computation of the
+            # UP branch at cell i is the base (unshifted) computation at
+            # cell i-1: its lengths are sh(dX,-2..0) = the base lengths
+            # shifted by -1, its values sh(q,-2..0) likewise, and every op
+            # is elementwise — so slope_upwind == rd(slope_base, 0),
+            # bitwise. One select per field instead of three, and the
+            # r_m/r_p length factors lose their selects entirely. (On the
+            # lane axis this form LOSES: the dependent roll of slope_base
+            # lengthens the critical chain of the costlier lane rotates —
+            # measured -7% X / +3% Y, so each kernel picks its form.)
+            # dt*sh(ustar,±1) == sh(disp,±1) and -(dx - b) == b - dx, all
+            # bitwise (permutations commute with the scalar multiply;
+            # negation and rounding are sign-symmetric) — 2 fewer
+            # multiplies.
+            dxe = jnp.where(up, sh(disp, -1) - dx, dx + sh(disp, 1))
+            r_m = div_c(2 * dX, dX + sh(dX, -1))
+            r_p = div_c(2 * dX, dX + sh(dX, 1))
+
+            def slope_base(q):
+                du_p = r_p * (sh(q, 1) - q)
+                du_m = r_m * (q - sh(q, -1))
+                sgn = jnp.sign(du_p)
+                return sgn * jnp.maximum(0.0,
+                                         jnp.minimum(sgn * du_p, sgn * du_m))
+
+            rr_i, ru_i = rd(rho1, 0), rd(ru1, 0)
+            rv_i, rE_i = rd(rv1, 0), rd(rE1, 0)
+            sl_rho = rd(slope_base(rho1), 0)
+            sl_ur = rd(slope_base(ru1), 0)
+            sl_vr = rd(slope_base(rv1), 0)
+            sl_Er = rd(slope_base(rE1), 0)
+        else:
+            # Lane (X) form: direct upwind reads — independent rolls of the
+            # input arrays schedule better than a dependent roll of the
+            # computed slope.
+            dxe = jnp.where(up, -(dx - dt * sh(ustar, -1)),
+                            dx + dt * sh(ustar, 1))
+            dxl_m = rd(dX, -1)
+            dxl_p = rd(dX, 1)
+            r_m = div_c(2 * dxl, dxl + dxl_m)
+            r_p = div_c(2 * dxl, dxl + dxl_p)
+
+            def slope(m, i, pp):
+                du_p = r_p * (pp - i)
+                du_m = r_m * (i - m)
+                sgn = jnp.sign(du_p)
+                return sgn * jnp.maximum(0.0,
+                                         jnp.minimum(sgn * du_p, sgn * du_m))
+
+            rr_m, rr_i, rr_p = rd(rho1, -1), rd(rho1, 0), rd(rho1, 1)
+            ru_m, ru_i, ru_p = rd(ru1, -1), rd(ru1, 0), rd(ru1, 1)
+            rv_m, rv_i, rv_p = rd(rv1, -1), rd(rv1, 0), rd(rv1, 1)
+            rE_m, rE_i, rE_p = rd(rE1, -1), rd(rE1, 0), rd(rE1, 1)
+            sl_rho = slope(rr_m, rr_i, rr_p)
+            sl_ur = slope(ru_m, ru_i, ru_p)
+            sl_vr = slope(rv_m, rv_i, rv_p)
+            sl_Er = slope(rE_m, rE_i, rE_p)
 
         lf = div_c(dxe, 2 * dxl)
         adv_rho = disp * (rr_i - sl_rho * lf)
@@ -394,7 +436,8 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, dt_ref, lim_ref,
     rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dx),
                                                rho, u, v, E,
                                                _make_div(cfg, interp),
-                                               need_c=emit_dt)
+                                               need_c=emit_dt,
+                                               slope_shift=False)
     outs[0][:], outs[1][:], outs[2][:], outs[3][:] = rho2, u2, v2, E2
     if emit_p:
         outs[4][:] = p_st
@@ -442,7 +485,8 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, emit_p, emit_dt, interp,
     rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dy),
                                                rho, v, u, E,
                                                _make_div(cfg, interp),
-                                               need_c=emit_dt)
+                                               need_c=emit_dt,
+                                               slope_shift=True)
 
     sl = slice(H, H + chunk)
     outs[0][:], outs[1][:], outs[2][:], outs[3][:] = \
@@ -730,14 +774,18 @@ def _cycle_kernel(cfg, chunk, x_first, interp,
     div = _make_div(cfg, interp)
     if x_first:
         rho1, u1, v1, E1, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
-                                             rho, u, v, E, div, need_c=False)
+                                             rho, u, v, E, div, need_c=False,
+                                             slope_shift=False)
         rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, shy, dty, T(cfg.dy),
-                                                   rho1, v1, u1, E1, div)
+                                                   rho1, v1, u1, E1, div,
+                                                   slope_shift=True)
     else:
         rho1, v1, u1, E1, _, _ = _sweep_math(cfg, shy, dty, T(cfg.dy),
-                                             rho, v, u, E, div, need_c=False)
+                                             rho, v, u, E, div, need_c=False,
+                                             slope_shift=True)
         rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, shx, dtx, T(cfg.dx),
-                                                   rho1, u1, v1, E1, div)
+                                                   rho1, u1, v1, E1, div,
+                                                   slope_shift=False)
 
     sl = slice(H, H + chunk)
     rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \

@@ -106,12 +106,14 @@ def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
     `src/blocking/block_grid.jl:598-709`).
 
     The peak lives inside a fused cycle: all `n_fields` state arrays are
-    resident AND the kernel writes `carry_fields` fresh output buffers
-    (rho, u, v, E, p — Pallas outputs cannot alias their inputs), so the
-    high-water mark is (n_fields + carry_fields) full padded arrays plus
-    the stacked halo-exchange slabs. Verified against the dev chip:
-    8192^2 f32 -> 4.3 GB (fits), 12288^2 f32 -> 9.7 GB (RESOURCE_EXHAUSTED
-    on its HBM), which round 1's state-only estimate mispredicted."""
+    resident AND XLA keeps `carry_fields` extra full buffers live (the p
+    output stream plus the while-loop's double-buffered carry slots —
+    measured, not derived: the in-place kernels alias rho/u/v/E, yet the
+    high-water mark still behaves as (n_fields + carry_fields) arrays).
+    Verified against the dev chip: 8192^2 f32 -> 4.3 GB (fits), 12288^2
+    f32 -> 9.7 GB (RESOURCE_EXHAUSTED on its HBM, re-checked after the
+    in-place kernels landed), which round 1's state-only estimate
+    mispredicted; 10240^2 f32 -> 6.8 GB (fits, measured)."""
     nx, ny = n_local
     rows, cols = ny + 2 * nghost, nx + 2 * nghost
     field = rows * cols * itemsize

@@ -83,9 +83,10 @@ def variant_kernel(cfg, chunk, write_p, do_dtmin, stream_only, no_roll,
 
     div = _make_div(cfg, False)
     rho1, u1, v1, E1, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
-                                         rho, u, v, E, div)
+                                         rho, u, v, E, div, slope_shift=False)
     rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, shy, dty, T(cfg.dy),
-                                               rho1, v1, u1, E1, div)
+                                               rho1, v1, u1, E1, div,
+                                               slope_shift=True)
 
     sl = slice(H, H + chunk)
     vals = [rho2[sl], u2[sl], v2[sl], E2[sl]]
