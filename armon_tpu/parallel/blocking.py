@@ -58,10 +58,11 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
             x_tile = 32
 
     # Y sweep: (chunk + 2*halo) x tile_c buffers, LIVE_BUFFERS of them.
-    if rows <= 264:
-        chunk = _round_up(rows, 8)
-    else:
-        chunk = 256
+    # chunk 512 halves the halo-recompute fraction vs 256 (16/528 = 3.0%)
+    # and measured fastest with 256 lanes on the dev chip (BENCH_NOTES
+    # round-2 Y-chunk A/B: (512,256)/(384,256) 10.45 ms vs (256,384)
+    # 10.67 ms per sweep at 8192²); taller chunks gain nothing more.
+    chunk = min(512, _round_up(rows, 8))
     if block_size is not None:
         by = max(8, _round_up(min(block_size[1], rows), 8))
         chunk = min(chunk, by)
@@ -69,9 +70,9 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     if cols <= 512:
         tile_c = _round_up(cols, 128)
     else:
-        budget = VMEM_BUDGET // 8  # conservative slice of the scoped budget
+        budget = VMEM_BUDGET // 4
         per_lane = (chunk + 16) * LIVE_BUFFERS * itemsize
-        tile_c = max(128, (budget // per_lane // 128) * 128)
+        tile_c = max(128, min((budget // per_lane // 128) * 128, 256))
         tile_c = min(tile_c, _round_up(cols, 128))
     if block_size is not None:
         bx = max(128, _round_up(min(block_size[0], cols), 128))
