@@ -81,6 +81,38 @@ def test_random_state_sweep_equivalence(seed):
         assert float(dtmin4) == float(dtmin)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_slope_formulations_bitwise(seed):
+    """The two euler_2nd slope formulations (`_sweep_math(slope_shift=)`,
+    picked per sweep axis for speed) must be BITWISE identical: the
+    up-branch slope at cell i equals the unshifted base slope at i-1."""
+    import jax.numpy as jnp
+    from armon_tpu.ops.pallas.sweep import _sweep_math
+
+    rng = np.random.default_rng(seed)
+    params = reference_params("Sod", np.float64, N=(40, 40), scheme="GAD",
+                              riemann_limiter="minmod",
+                              projection="euler_2nd")
+    cfg = params.config
+    shape = (48, 48)
+    rho = jnp.asarray(rng.uniform(0.5, 2.0, shape))
+    u = jnp.asarray(rng.uniform(-0.3, 0.3, shape))
+    v = jnp.asarray(rng.uniform(-0.3, 0.3, shape))
+    E = jnp.asarray(rng.uniform(1.5, 3.0, shape))
+    dt = np.float64(1e-4)
+
+    for axis in (0, 1):
+        def sh(a, k, axis=axis):
+            return jnp.roll(a, -k, axis)
+
+        dx = np.float64(cfg.dx)
+        a = _sweep_math(cfg, sh, dt, dx, rho, u, v, E, slope_shift=False)
+        b = _sweep_math(cfg, sh, dt, dx, rho, u, v, E, slope_shift=True)
+        for name, x, y in zip(("rho", "uax", "uot", "E", "p", "c"), a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), \
+                f"slope forms diverge on {name} axis={axis}"
+
+
 def test_profiler_trace_smoke(tmp_path):
     """profiling=['trace'] produces an XPlane dump directory."""
     import os
