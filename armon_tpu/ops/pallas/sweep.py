@@ -35,7 +35,7 @@ Tiling:
   block above and below (the full sweep dependency depth is 4 =
   stencil(riemann) * stencil(projection), `src/parameters.jl:609-613`).
 
-In-tile shifted reads use `pltpu.roll` (wrap-around): wrapped values only
+In-tile shifted reads use static `jnp.roll` (wrap-around): wrapped values only
 ever land in cells whose results are never consumed — the same argument as
 the jnp tier (`armon_tpu.ops.shifts`).
 
@@ -426,11 +426,11 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, dt_ref, lim_ref,
     i = pl.program_id(0)
 
     def sh(a, k):
-        # pltpu.roll requires a non-negative shift; (-k) % n is equivalent
-        # to jnp.roll(a, -k) wrap-around semantics.
-        # np.int32: under jax_enable_x64 a bare int becomes an i64
-        # operand, which tpu.dynamic_rotate rejects
-        return pltpu.roll(a, np.int32((-k) % a.shape[1]), 1) if k else a
+        # STATIC shift: jnp.roll with a trace-time-constant shift lowers to
+        # a static lane rotate — measured 30% faster than pltpu.roll's
+        # tpu.dynamic_rotate on the lane axis, bitwise identical
+        # (BENCH_NOTES round-2 roll-unit attribution).
+        return jnp.roll(a, -k, 1) if k else a
 
     rho, u, v, E = rho_ref[:], u_ref[:], v_ref[:], E_ref[:]
     rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dx),
@@ -479,7 +479,7 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, emit_p, emit_dt, interp,
     E = halo_cat(E_c[:], E_a[:], E_b[:])
 
     def sh(a, k):
-        return pltpu.roll(a, np.int32((-k) % a.shape[0]), 0) if k else a
+        return jnp.roll(a, -k, 0) if k else a
 
     # Y sweep: the axis velocity is v
     rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dy),
@@ -764,12 +764,11 @@ def _cycle_kernel(cfg, chunk, x_first, interp,
     E = halo_cat(E_c[:], E_a[:], E_b[:])
 
     def shx(a, k):
-        # np.int32: under jax_enable_x64 a bare int becomes an i64
-        # operand, which tpu.dynamic_rotate rejects
-        return pltpu.roll(a, np.int32((-k) % a.shape[1]), 1) if k else a
+        # static shifts: see _x_sweep_kernel.sh
+        return jnp.roll(a, -k, 1) if k else a
 
     def shy(a, k):
-        return pltpu.roll(a, np.int32((-k) % a.shape[0]), 0) if k else a
+        return jnp.roll(a, -k, 0) if k else a
 
     div = _make_div(cfg, interp)
     if x_first:
