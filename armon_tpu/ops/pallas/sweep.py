@@ -193,8 +193,8 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
     `need_c=False` lets the fast path skip forming the sound speed itself
     (only the CFL reduction consumes it — returns c_stale=None then).
     `slope_shift` picks between two bitwise-identical euler_2nd slope
-    formulations (see the GAD/euler_2nd branch): True wins on the sublane
-    axis, False on the lane axis.
+    formulations (see the GAD/euler_2nd branch): True (shifted-base) wins
+    on both axes under static-roll shifts and is the production setting.
     Returns (rho', uax', uot', E', p_stale, c_stale)."""
     T = np.dtype(cfg.dtype).type
     if div is None:
@@ -295,10 +295,11 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
             # shifted by -1, its values sh(q,-2..0) likewise, and every op
             # is elementwise — so slope_upwind == rd(slope_base, 0),
             # bitwise. One select per field instead of three, and the
-            # r_m/r_p length factors lose their selects entirely. (On the
-            # lane axis this form LOSES: the dependent roll of slope_base
-            # lengthens the critical chain of the costlier lane rotates —
-            # measured -7% X / +3% Y, so each kernel picks its form.)
+            # r_m/r_p length factors lose their selects entirely. (With
+            # the old dynamic-rotate shifts this form lost on the lane
+            # axis; with static jnp.roll shifts it wins on BOTH axes —
+            # measured -5% X / -3% Y per sweep — so it is the default.
+            # The direct form below is kept selectable for future A/Bs.)
             # dt*sh(ustar,±1) == sh(disp,±1) and -(dx - b) == b - dx, all
             # bitwise (permutations commute with the scalar multiply;
             # negation and rounding are sign-symmetric) — 2 fewer
@@ -437,7 +438,7 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, dt_ref, lim_ref,
                                                rho, u, v, E,
                                                _make_div(cfg, interp),
                                                need_c=emit_dt,
-                                               slope_shift=False)
+                                               slope_shift=True)
     outs[0][:], outs[1][:], outs[2][:], outs[3][:] = rho2, u2, v2, E2
     if emit_p:
         outs[4][:] = p_st
@@ -774,7 +775,7 @@ def _cycle_kernel(cfg, chunk, x_first, interp,
     if x_first:
         rho1, u1, v1, E1, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
                                              rho, u, v, E, div, need_c=False,
-                                             slope_shift=False)
+                                             slope_shift=True)
         rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, shy, dty, T(cfg.dy),
                                                    rho1, v1, u1, E1, div,
                                                    slope_shift=True)
@@ -784,7 +785,7 @@ def _cycle_kernel(cfg, chunk, x_first, interp,
                                              slope_shift=True)
         rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, shx, dtx, T(cfg.dx),
                                                    rho1, u1, v1, E1, div,
-                                                   slope_shift=False)
+                                                   slope_shift=True)
 
     sl = slice(H, H + chunk)
     rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
