@@ -58,11 +58,21 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
             x_tile = 32
 
     # Y sweep: (chunk + 2*halo) x tile_c buffers, LIVE_BUFFERS of them.
-    # chunk 512 halves the halo-recompute fraction vs 256 (16/528 = 3.0%)
-    # and measured fastest with 256 lanes on the dev chip (BENCH_NOTES
-    # round-2 Y-chunk A/B: (512,256)/(384,256) 10.45 ms vs (256,384)
-    # 10.67 ms per sweep at 8192²); taller chunks gain nothing more.
-    chunk = min(512, _round_up(rows, 8))
+    # Chunk height is a measured sweet spot, not a pure cost model: the
+    # full-loop bench at 8192² f32 gives 200 -> 4.53, 128 -> 4.48,
+    # 256 -> 4.36, 512 -> 4.21, 1640 -> 3.93 Gcells/s (BENCH_NOTES
+    # round-2 chunk sweep) — short chunks pipeline better, very short
+    # ones drown in halo recompute. Scan the [128, 256] band for the
+    # multiple-of-8 height minimizing ragged-tail padding plus the
+    # (half-weighted) halo-recompute fraction 16/(c+16); at 8200 rows
+    # this picks the exact divisor 200.
+    if rows <= 264:
+        chunk = _round_up(rows, 8)
+    else:
+        def _cost(c):
+            pad = (-(-rows // c) * c - rows) / rows
+            return pad + 0.5 * 16.0 / (c + 16)
+        chunk = min(range(128, 257, 8), key=_cost)
     if block_size is not None:
         by = max(8, _round_up(min(block_size[1], rows), 8))
         chunk = min(chunk, by)
@@ -70,7 +80,7 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     if cols <= 512:
         tile_c = _round_up(cols, 128)
     else:
-        budget = VMEM_BUDGET // 4
+        budget = 60 * 1024 * 1024  # live-temporary slice of scoped VMEM
         per_lane = (chunk + 16) * LIVE_BUFFERS * itemsize
         tile_c = max(128, min((budget // per_lane // 128) * 128, 256))
         tile_c = min(tile_c, _round_up(cols, 128))
