@@ -162,10 +162,12 @@ def run_schedule_fused(cfg, state, schedule, dt):
     T = np.dtype(cfg.dtype).type
     local_min = None
     i = 0
-    # Single device: per-sweep IN-PLACE kernels (zero full-array copies in
-    # the loop carry, no cross-sweep halo recompute). Mesh: the whole-cycle
-    # kernel keeps the halo exchange at ONE collective round per cycle.
-    pair_cycles = cfg.spmd
+    # Mesh: the whole-cycle kernel keeps the halo exchange at ONE
+    # collective round per cycle. Single device: per-sweep IN-PLACE
+    # kernels (no cross-sweep halo recompute) — except on SMALL grids,
+    # where per-kernel launch overhead dominates and one pass per cycle
+    # wins (+4-5% measured at 1000²-2000², losing ~6% by 4000²).
+    pair_cycles = cfg.spmd or max(cfg.n_local) <= 2048
     while i < len(schedule):
         if (pair_cycles and i + 1 < len(schedule)
                 and {schedule[i][0], schedule[i + 1][0]} == {Axis.X, Axis.Y}):
