@@ -82,6 +82,87 @@ def test_random_state_sweep_equivalence(seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+def test_pair_cycle_matches_per_sweep(seed):
+    """The whole-cycle pair kernel (one pass, both sweeps — used on meshes
+    and, since round 2, on small single-device grids) must match the
+    per-sweep path. The SCHEDULE commutation (X-sweep then Y-ghost-fill ==
+    Y-ghost-fill then X-sweep) is exactly bitwise — verified separately by
+    composing ghost_exchange + fused_sweep_ip in both orders — but the
+    fused kernels themselves drift ~1 ulp from each other because XLA
+    picks FMA contractions per fusion context (a pure-jnp _sweep_math
+    chain differs from BOTH kernels at the same level), so the gate here
+    is tight-tolerance, with the golden ladders bounding the accumulated
+    effect."""
+    from armon_tpu.core.step import fused_sweep_step, fused_cycle_step
+
+    rng = np.random.default_rng(seed)
+    params = reference_params("Sod_circ", np.float64, N=(40, 48))
+    cfg = params.config
+    state = make_init(params)()
+    shape = cfg.local_shape
+    state = state._replace(
+        rho=jax.numpy.asarray(rng.uniform(0.5, 2.0, shape)),
+        u=jax.numpy.asarray(rng.uniform(-0.3, 0.3, shape)),
+        v=jax.numpy.asarray(rng.uniform(-0.3, 0.3, shape)),
+        E=jax.numpy.asarray(rng.uniform(1.5, 3.0, shape)),
+    )
+    dt = np.float64(1e-4)
+
+    s1, _ = fused_sweep_step(cfg, state, Axis.X, dt, last=False)
+    s1, lm1 = fused_sweep_step(cfg, s1, Axis.Y, dt, last=True)
+
+    pair = ((Axis.X, 1.0), (Axis.Y, 1.0))
+    s2, lm2 = fused_cycle_step(cfg, state, pair, dt)
+
+    g = cfg.nghost
+    rs = (slice(g, -g), slice(g, -g))
+    for var in ("rho", "u", "v", "E", "p"):
+        a = np.asarray(getattr(s1, var))[rs]
+        b = np.asarray(getattr(s2, var))[rs]
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-14), \
+            f"pair kernel diverges on {var}"
+    assert abs(float(lm1) - float(lm2)) <= 1e-12 * abs(float(lm1))
+
+
+def test_sweep_commutes_with_orthogonal_ghost_fill_bitwise():
+    """The pair kernel's validity argument: pre-filling the Y ghost band
+    and then X-sweeping equals X-sweeping and then Y-filling, BITWISE —
+    mirror flips the Y-axis velocity, which the X sweep maps oddly and
+    exactly (negation commutes with every elementwise op)."""
+    from armon_tpu.core.step import ghost_exchange, FUSED_EXCHANGE_VARS
+    from armon_tpu.ops.pallas.sweep import fused_sweep_ip
+
+    rng = np.random.default_rng(7)
+    params = reference_params("Sod_circ", np.float64, N=(40, 48))
+    cfg = params.config
+    state = make_init(params)()
+    shape = cfg.local_shape
+    state = state._replace(
+        rho=jax.numpy.asarray(rng.uniform(0.5, 2.0, shape)),
+        u=jax.numpy.asarray(rng.uniform(-0.3, 0.3, shape)),
+        v=jax.numpy.asarray(rng.uniform(-0.3, 0.3, shape)),
+        E=jax.numpy.asarray(rng.uniform(1.5, 3.0, shape)),
+    )
+    dt = np.float64(1e-4)
+
+    def xsweep(s):
+        r, u, v, E, _, _ = fused_sweep_ip(
+            cfg, Axis.X, s.rho, s.u, s.v, s.E, dt,
+            emit_p=False, emit_dt=False, interpret=True)
+        return s._replace(rho=r, u=u, v=v, E=E)
+
+    sA = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
+    sA = ghost_exchange(cfg, xsweep(sA), Axis.Y, FUSED_EXCHANGE_VARS)
+
+    sB = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
+    sB = xsweep(ghost_exchange(cfg, sB, Axis.Y, FUSED_EXCHANGE_VARS))
+
+    for var in ("rho", "u", "v", "E"):
+        assert np.array_equal(np.asarray(getattr(sA, var)),
+                              np.asarray(getattr(sB, var))), var
+
+
+@pytest.mark.parametrize("seed", [0, 1])
 def test_slope_formulations_bitwise(seed):
     """The two euler_2nd slope formulations (`_sweep_math(slope_shift=)`,
     picked per sweep axis for speed) must be BITWISE identical: the
