@@ -42,14 +42,14 @@ def main():
     ref_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "reference_data")
 
-    def golden(dtype, bits, atol, rtol, **kw):
-        p = ArmonParameters(test="Sod", N=(100, 100), data_type=dtype,
+    def golden(dtype, bits, atol, rtol, test="Sod", **kw):
+        p = ArmonParameters(test=test, N=(100, 100), data_type=dtype,
                             maxcycle=1000, silent=5, measure_time=False,
                             return_data=True, **kw)
         stats = armon(p)
         cfg = p.config
         ref_dt, ref_cycles, ref = read_reference_csv(
-            cfg, os.path.join(ref_dir, f"ref_Sod_{bits}bits.csv"))
+            cfg, os.path.join(ref_dir, f"ref_{test}_{bits}bits.csv"))
         cnt, maxd, det = compare_states(
             cfg, gather_state(p, stats.data), ref, atol=atol, rtol=rtol)
         return stats.cycles == ref_cycles and cnt == 0, \
@@ -58,6 +58,12 @@ def main():
     f32tol = (1e-5, 20 * np.finfo(np.float32).eps)
     ok, d = golden(np.float32, 32, *f32tol)
     check("f32 golden (auto tier, compiled Mosaic)", ok, d)
+
+    # Sod_circ is NOT Y-invariant, so this exercises the whole-cycle pair
+    # kernel's genuinely 2D structure (small grids route through it) on
+    # compiled Mosaic, not just the Y-constant Sod solution.
+    ok, d = golden(np.float32, 32, *f32tol, test="Sod_circ")
+    check("f32 Sod_circ golden (pair kernel, compiled Mosaic)", ok, d)
 
     # Tile-plan invariance (the reference's block-size matrix,
     # `test/convergence.jl:107-121`): the same golden under odd-shaped
