@@ -24,9 +24,9 @@ replaced, so it was removed.
 
 Temporal blocking (two cycles per pass) was implemented and benched in
 round 1 (+5% at mid sizes, loses at 8192²) and removed: the kernel is
-VPU-bound ~4.4x below the measured ~480 GB/s streaming ceiling
-(scripts/perf_probe.py), so trading HBM traffic for extra halo compute
-can never pay on this part.
+compute-bound below the ~480 GB/s streaming ceiling (~65% of it after
+the round-2 static-roll work, BENCH_NOTES.md), so trading HBM traffic
+for extra halo compute does not pay on this part.
 
 Tiling:
 - X sweep: tiles of TILE_R full-width rows; rows are independent (the sweep
