@@ -95,6 +95,10 @@ def cycle_chunk_rows(rows: int, cols: int, itemsize: int,
                      block_size: Optional[Tuple[int, int]] = None) -> int:
     """Row-chunk height for the fully-fused cycle kernel: full-width
     (chunk+8, cols) buffers, ~25 live temporaries, within the VMEM budget.
+    Like the per-sweep planner, short chunks pipeline best (2048² sweep:
+    104 -> 3.21, 56 -> 3.14, 160 -> 3.07, 152 -> 2.96 Gcells/s), so scan
+    the [64, 136] band minimizing ragged-tail padding + half-weighted
+    halo fraction 8/(c+8), clamped by the VMEM bound for wide arrays.
     `block_size[1]` bounds the chunk (cache-block option parity,
     `src/parameters.jl:497-516`)."""
     if rows <= 264:
@@ -102,8 +106,15 @@ def cycle_chunk_rows(rows: int, cols: int, itemsize: int,
     else:
         budget = VMEM_BUDGET // 3  # leave room for Mosaic's i/o double buffers
         per_row = cols * LIVE_BUFFERS * itemsize
-        chunk = max(8, ((budget // per_row - 8) // 8) * 8)
-        chunk = min(chunk, 256)
+        vmem_bound = max(8, ((budget // per_row - 8) // 8) * 8)
+        hi = min(136, vmem_bound, _round_up(rows, 8))
+        if hi >= 64:
+            def _cost(c):
+                pad = (-(-rows // c) * c - rows) / rows
+                return pad + 0.5 * 8.0 / (c + 8)
+            chunk = min(range(64, hi + 1, 8), key=_cost)
+        else:
+            chunk = hi
     if block_size is not None:
         chunk = min(chunk, max(8, _round_up(min(block_size[1], rows), 8)))
     return chunk
