@@ -166,8 +166,15 @@ def run_schedule_fused(cfg, state, schedule, dt):
     # collective round per cycle. Single device: per-sweep IN-PLACE
     # kernels (no cross-sweep halo recompute) — except on SMALL grids,
     # where per-kernel launch overhead dominates and one pass per cycle
-    # wins (+4-5% measured at 1000²-2000², losing ~6% by 4000²).
-    pair_cycles = cfg.spmd or max(cfg.n_local) <= 2048
+    # wins (+4-5% measured at 1000²-2000², losing ~6% by 4000² on the
+    # dev v5e-lite). The crossover is `cfg.pair_threshold` (the
+    # `pair_threshold` option / ARMON_PAIR_THRESHOLD): 0 = per-sweep on
+    # a single device, -1 = per-sweep everywhere.
+    if cfg.pair_threshold < 0:
+        pair_cycles = False
+    else:
+        pair_cycles = cfg.spmd or (cfg.pair_threshold > 0
+                                   and max(cfg.n_local) <= cfg.pair_threshold)
     while i < len(schedule):
         if (pair_cycles and i + 1 < len(schedule)
                 and {schedule[i][0], schedule[i + 1][0]} == {Axis.X, Axis.Y}):

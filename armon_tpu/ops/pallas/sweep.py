@@ -401,9 +401,12 @@ def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None):
     cols = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + col0
     real = ((rows >= g) & (rows < g + ny) & (cols >= g) & (cols < g + nx))
     zero = T(0.0)
-    # max(|u+c|, |u-c|) == |u| + c bitwise for c >= 0: the winning branch
-    # is the single rounded addition of |u| and c either way (IEEE a-b ==
-    # a+(-b); negation exact), and NaN propagates identically.
+    # max(|u+c|, |u-c|) == |u| + c bitwise for finite c >= 0: the winning
+    # branch is the single rounded addition of |u| and c either way (IEEE
+    # a-b == a+(-b); negation exact), and NaN propagates identically.
+    # (u = ±inf with c = inf gives inf here vs the old form's NaN → dt = 0
+    # instead of dt = NaN; the driver's `isfinite(dt) & (dt > 0)` gate
+    # rejects both identically — see ops/reductions.py:dt_cfl_min.)
     mx = jnp.where(real, jnp.abs(u_new) + c_old, zero)
     my = jnp.where(real, jnp.abs(v_new) + c_old, zero)
     half = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) < 4

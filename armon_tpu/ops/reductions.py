@@ -63,9 +63,13 @@ def dt_cfl_min(cfg, state):
     Restructured as min(dx/max|u±c|, dy/max|v±c|): bitwise identical to the
     per-cell min(dx/..., dy/...) form (IEEE division is monotone in the
     denominator) with two divisions total instead of two per cell; and
-    max(|u+c|, |u-c|) == |u| + c bitwise for c >= 0 (the winning branch is
-    the single rounded addition of |u| and c either way; NaN propagates
-    identically)."""
+    max(|u+c|, |u-c|) == |u| + c bitwise for FINITE c >= 0 (the winning
+    branch is the single rounded addition of |u| and c either way; NaN
+    propagates identically). Edge case: u = ±inf with c = inf gave NaN
+    (inf - inf) in the old form but inf here, so a blown-up run yields
+    dt = 0 instead of dt = NaN — equivalent downstream, because the
+    driver's validity gate is `isfinite(dt) & (dt > 0)`
+    (core/timestep.py:dt_update), which rejects both identically."""
     T = np.dtype(cfg.dtype).type
     dx, dy = T(cfg.dx), T(cfg.dy)
     if _uneven(cfg):

@@ -80,7 +80,9 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     if cols <= 512:
         tile_c = _round_up(cols, 128)
     else:
-        budget = 60 * 1024 * 1024  # live-temporary slice of scoped VMEM
+        # live-temporary slice of the scoped-VMEM budget (the rest is
+        # Mosaic's i/o double buffers); 60 MiB at the default 100 MiB
+        budget = VMEM_BUDGET * 3 // 5
         per_lane = (chunk + 16) * LIVE_BUFFERS * itemsize
         tile_c = max(128, min((budget // per_lane // 128) * 128, 256))
         tile_c = min(tile_c, _round_up(cols, 128))

@@ -189,6 +189,14 @@ class ArmonParameters:
         # ~1 ulp; still zero-diff at the f32 golden gates). Set False for
         # strict IEEE divides.
         self.use_fast_math = bool(o.pop("use_fast_math", True))
+        # Whole-cycle pair-kernel routing crossover (fused tier): single-
+        # device grids with max(n_local) <= pair_threshold run one kernel
+        # pass per cycle. Default from ARMON_PAIR_THRESHOLD (dev-chip
+        # measured crossover 2048); 0 = per-sweep kernels on a single
+        # device, -1 = per-sweep everywhere (incl. the mesh path).
+        import os as _os
+        self.pair_threshold = int(o.pop(
+            "pair_threshold", _os.environ.get("ARMON_PAIR_THRESHOLD", 2048)))
 
     def _init_profiling(self, o):
         """src/parameters.jl:532-575. Known profilers: 'trace'
@@ -280,6 +288,7 @@ class ArmonParameters:
                 kernel_tier=self.kernel_tier,
                 block_size=tuple(self.block_size) if self.block_size else None,
                 fast_math=self.use_fast_math,
+                pair_threshold=self.pair_threshold,
             )
         return self._config
 

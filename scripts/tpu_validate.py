@@ -65,6 +65,13 @@ def main():
     ok, d = golden(np.float32, 32, *f32tol, test="Sod_circ")
     check("f32 Sod_circ golden (pair kernel, compiled Mosaic)", ok, d)
 
+    # The PER-SWEEP in-place kernels (fused_sweep_ip) are the production
+    # path for grids above pair_threshold; force them at golden scale so
+    # invariant 1 ("both kernel tiers" zero-diff) covers them on compiled
+    # Mosaic too, not only the pair kernel.
+    ok, d = golden(np.float32, 32, *f32tol, test="Sod_circ", pair_threshold=0)
+    check("f32 Sod_circ golden (per-sweep kernels, compiled Mosaic)", ok, d)
+
     # Tile-plan invariance (the reference's block-size matrix,
     # `test/convergence.jl:107-121`): the same golden under odd-shaped
     # non-default tile plans must be bit-identical to the default plan.

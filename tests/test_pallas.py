@@ -19,12 +19,19 @@ from armon_tpu.io.output import read_reference_csv, compare_states
 from armon_tpu.core.solver import gather_state, make_init, make_cycle
 
 
+@pytest.mark.parametrize("routing", ["pair", "per_sweep"])
 @pytest.mark.parametrize("test", ["Sod", "Sod_circ", "Bizarrium"])
-def test_pallas_golden(test):
-    """Full golden regression with kernel_tier='pallas' (interpret mode)."""
+def test_pallas_golden(test, routing):
+    """Full golden regression with kernel_tier='pallas' (interpret mode),
+    through BOTH fused-tier routings: the whole-cycle pair kernel (the
+    default at this grid size) and the per-sweep in-place kernels
+    (`pair_threshold=0`) — the production path for large grids, which
+    would otherwise have no full-run golden coverage."""
     dtype = np.float64
     params = reference_params(test, dtype, return_data=True,
-                              kernel_tier="pallas")
+                              kernel_tier="pallas",
+                              pair_threshold=0 if routing == "per_sweep"
+                              else 2048)
     stats = armon(params)
     cfg = params.config
     ref_dt, ref_cycles, ref = read_reference_csv(cfg, ref_file(test, dtype))
