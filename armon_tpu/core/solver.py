@@ -324,19 +324,46 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
 
 
 def _make_step_fns(params):
-    """Individually-jitted solver sub-steps for the checkpoint/compare driver."""
+    """Individually-jitted solver sub-steps for the checkpoint/compare
+    driver. Under SPMD each sub-step is shard_mapped over the mesh (the
+    halo exchange and the dt pmin need the mesh axes), so compare mode
+    runs per-shard like the reference's per-rank `step_checkpoint`
+    (`src/io.jl:185-227`)."""
     cfg = params.config
     fns = {}
+    if not cfg.spmd:
+        for axis in (Axis.X, Axis.Y):
+            fns[("eos", axis)] = jax.jit(lambda s, a=axis: update_eos(cfg, s))
+            fns[("bc", axis)] = jax.jit(lambda s, a=axis: ghost_exchange(cfg, s, a))
+            fns[("fluxes", axis)] = jax.jit(
+                lambda s, dt, a=axis: numerical_fluxes(cfg, s, a, dt))
+            fns[("update", axis)] = jax.jit(
+                lambda s, dt, a=axis: cell_update(cfg, s, a, dt))
+            fns[("remap", axis)] = jax.jit(
+                lambda s, dt, a=axis: projection_remap(cfg, s, a, dt))
+        fns["dt"] = jax.jit(lambda s, dtp, cyc: next_time_step(cfg, s, dtp, cyc))
+        return fns
+
+    _, sspec, rep = _mesh_and_specs(params)
+
+    def sj(f):
+        return _shard(params, f, in_specs=(sspec,), out_specs=sspec)
+
+    def sdj(f):
+        return _shard(params, f, in_specs=(sspec, rep), out_specs=sspec)
+
     for axis in (Axis.X, Axis.Y):
-        fns[("eos", axis)] = jax.jit(lambda s, a=axis: update_eos(cfg, s))
-        fns[("bc", axis)] = jax.jit(lambda s, a=axis: ghost_exchange(cfg, s, a))
-        fns[("fluxes", axis)] = jax.jit(
+        fns[("eos", axis)] = sj(lambda s, a=axis: update_eos(cfg, s))
+        fns[("bc", axis)] = sj(lambda s, a=axis: ghost_exchange(cfg, s, a))
+        fns[("fluxes", axis)] = sdj(
             lambda s, dt, a=axis: numerical_fluxes(cfg, s, a, dt))
-        fns[("update", axis)] = jax.jit(
+        fns[("update", axis)] = sdj(
             lambda s, dt, a=axis: cell_update(cfg, s, a, dt))
-        fns[("remap", axis)] = jax.jit(
+        fns[("remap", axis)] = sdj(
             lambda s, dt, a=axis: projection_remap(cfg, s, a, dt))
-    fns["dt"] = jax.jit(lambda s, dtp, cyc: next_time_step(cfg, s, dtp, cyc))
+    fns["dt"] = _shard(params,
+                       lambda s, dtp, cyc: next_time_step(cfg, s, dtp, cyc),
+                       in_specs=(sspec, rep, rep), out_specs=(rep, rep, rep))
     return fns
 
 
@@ -487,10 +514,6 @@ def armon(params: ArmonParameters, checkpoint=None,
     use_python_loop = (params.silent <= 1 or params.animation_step != 0
                        or params.compare or checkpoint is not None
                        or solver_log is not None or params.checkpoint_step != 0)
-    if params.compare and cfg.spmd:
-        solver_error("config", "compare/is_ref checkpoint mode runs "
-                               "single-device; compare the gathered output "
-                               "files instead")
     if params.compare and checkpoint is None:
         checkpoint = make_file_checkpoint(params)
 
@@ -581,7 +604,11 @@ def armon(params: ArmonParameters, checkpoint=None,
 
 def make_file_checkpoint(params):
     """The `step_checkpoint` hook (`src/io.jl:185-227`): with `is_ref=True`
-    write a file per sub-step; otherwise compare against it."""
+    write a file per sub-step; otherwise compare against it. On a mismatch
+    the differing state is written next to the reference file as `_diff`
+    (`src/io.jl:220-222`). Under SPMD, state files are per-shard
+    `_<cx>×<cy>` files with NO global gather (`src/io.jl:46-59` naming);
+    the dt file stays global (the time step is replicated over the mesh)."""
     from ..io.output import write_state_file, read_state_file
     cfg = params.config
 
@@ -604,6 +631,9 @@ def make_file_checkpoint(params):
                       f"dt = {dt:.18f}, diff = {ref_dt - dt:.18f}")
             return diff
 
+        if cfg.spmd:
+            return _spmd_file_checkpoint(params, label, state, path, cycle)
+
         host = gather_state(params, state)
         if params.is_ref:
             write_state_file(cfg, host, path, precision=params.output_precision,
@@ -617,9 +647,48 @@ def make_file_checkpoint(params):
         if cnt:
             print(f"At {label} (cycle {cycle}): {cnt} differences "
                   f"(max rel {max_diff:.3e}): {details}")
+            # the differing state, for inspection (src/io.jl:220-222)
+            write_state_file(cfg, host, path + "_diff",
+                             precision=params.output_precision,
+                             with_ghosts=params.write_ghosts)
         return cnt > 0
 
     return checkpoint
+
+
+def _spmd_file_checkpoint(params, label, state, path, cycle):
+    """Per-shard write-or-compare of one sub-step under SPMD — the
+    reference's per-rank `step_checkpoint` files (`src/io.jl:185-227` via
+    `build_file_path`'s `_<coords>` naming, `src/io.jl:46-59`). Host memory
+    stays O(shard): blocks come through `shard_coords_iter`, never a global
+    gather."""
+    from ..core.state import SAVED_VARS
+    from ..io.output import count_differences, write_cells_file
+    from ..io.subdomain import (write_sub_domain_files, read_sub_domain_file,
+                                sub_domain_file_path, shard_coords_iter,
+                                shard_real_window, _ghost_window)
+    cfg = params.config
+    if params.is_ref:
+        write_sub_domain_files(params, state, path,
+                               precision=params.output_precision,
+                               with_ghosts=params.write_ghosts)
+        return False
+    win = _ghost_window if params.write_ghosts else shard_real_window
+    total = 0
+    for coords, blocks in shard_coords_iter(params, state):
+        rs, cs, _, _ = win(cfg, coords)
+        ours = {v: blocks[v][rs, cs] for v in SAVED_VARS}
+        spath = sub_domain_file_path(path, coords)
+        ref = read_sub_domain_file(cfg, spath, coords,
+                                   with_ghosts=params.write_ghosts)
+        cnt, max_diff, details = count_differences(
+            cfg, ours, ref, atol=0.0, rtol=params.comparison_tolerance)
+        if cnt:
+            print(f"At {label} (cycle {cycle}, shard {coords}): {cnt} "
+                  f"differences (max rel {max_diff:.3e}): {details}")
+            write_cells_file(spath + "_diff", ours, params.output_precision)
+        total += cnt
+    return total > 0
 
 
 def _isapprox0(x, atol, rtol):

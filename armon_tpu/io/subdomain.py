@@ -93,6 +93,20 @@ def write_sub_domain_files(params, state: State, path, precision=None,
     return paths
 
 
+def read_sub_domain_file(cfg, path, coords, with_ghosts=False):
+    """Read one per-shard file written by `write_sub_domain_files` back into
+    {var: (hy, wx)} arrays — the read side of the reference's per-rank
+    checkpoint comparison (`src/io.jl:169-182,203-219`)."""
+    from .output import _read_rows
+    win = _ghost_window if with_ghosts else shard_real_window
+    rs, cs, _, _ = win(cfg, coords)
+    hy, wx = rs.stop - rs.start, cs.stop - cs.start
+    _, data = _read_rows(path, cfg.dtype, expected_cells=hy * wx)
+    assert data.shape == (hy * wx, len(SAVED_VARS)), \
+        f"expected {hy * wx} cells in {path}, got {data.shape[0]}"
+    return {v: data[:, k].reshape(hy, wx) for k, v in enumerate(SAVED_VARS)}
+
+
 def read_global_file_window(cfg, path, coords, skip_header=False,
                             with_ghosts=False):
     """Stream a GLOBAL-domain pm3d CSV and return only the window of shard

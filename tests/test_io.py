@@ -87,3 +87,75 @@ def test_checkpoint_compare_mode(tmp_path):
     pert = reference_params("Sod", np.float64, is_ref=False, cfl=0.5, **common)
     stats = armon(pert)
     assert stats.cycles == 0  # stopped at the first (time_step) checkpoint
+
+
+def test_checkpoint_diff_file(tmp_path):
+    """A state mismatch writes the differing state next to the reference
+    file as `_diff` (`src/io.jl:220-222`)."""
+    common = dict(N=(20, 20), maxcycle=1, compare=True,
+                  output_dir=str(tmp_path), output_file="ck")
+    armon(reference_params("Sod", np.float64, is_ref=True, **common))
+    # corrupt one value of the first EOS state file
+    target = tmp_path / "ck_000_EOS_X"
+    lines = target.read_text().splitlines()
+    cols = lines[0].split(",")
+    cols[2] = " 9.99999999999999900e+00"  # rho
+    lines[0] = ",".join(cols)
+    target.write_text("\n".join(lines) + "\n")
+
+    stats = armon(reference_params("Sod", np.float64, is_ref=False, **common))
+    assert stats.cycles == 0  # stopped at the corrupted step
+    assert (tmp_path / "ck_000_EOS_X_diff").exists()
+
+
+def test_checkpoint_compare_mode_spmd(tmp_path):
+    """Compare mode under SPMD: per-shard `_<cx>×<cy>` step files with no
+    global gather (`src/io.jl:185-227,46-59`); a clean rerun passes, a
+    corrupted shard file stops the run and leaves a per-shard `_diff`."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    common = dict(N=(20, 20), maxcycle=2, compare=True, P=(2, 2),
+                  output_dir=str(tmp_path), output_file="ck")
+    armon(reference_params("Sod", np.float64, is_ref=True, **common))
+    files = os.listdir(tmp_path)
+    assert any(f.endswith("_EOS_X_0×0") for f in files), files
+    assert any(f.endswith("_EOS_X_1×1") for f in files), files
+
+    stats = armon(reference_params("Sod", np.float64, is_ref=False, **common))
+    assert stats.cycles == 2  # clean comparison, ran to completion
+
+    # single-device-written global files would NOT exist; the per-shard
+    # naming is the only step output
+    assert not (tmp_path / "ck_000_EOS_X").exists()
+
+    target = tmp_path / "ck_000_EOS_X_1×0"
+    lines = target.read_text().splitlines()
+    cols = lines[0].split(",")
+    cols[2] = " 9.99999999999999900e+00"
+    lines[0] = ",".join(cols)
+    target.write_text("\n".join(lines) + "\n")
+    stats = armon(reference_params("Sod", np.float64, is_ref=False, **common))
+    assert stats.cycles == 0
+    assert (tmp_path / "ck_000_EOS_X_1×0_diff").exists()
+    assert not (tmp_path / "ck_000_EOS_X_0×0_diff").exists()
+
+
+def test_spmd_compare_matches_single_device_refs(tmp_path):
+    """A sharded compare run against PER-SHARD refs written by a sharded
+    is_ref run is bit-clean; dt files agree with a single-device run."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    single = dict(N=(24, 24), maxcycle=1, compare=True,
+                  output_dir=str(tmp_path / "s"), output_file="ck")
+    os.makedirs(tmp_path / "s")
+    armon(reference_params("Sod_circ", np.float64, is_ref=True, **single))
+    sharded = dict(N=(24, 24), maxcycle=1, compare=True, P=(2, 2),
+                   output_dir=str(tmp_path / "m"), output_file="ck")
+    os.makedirs(tmp_path / "m")
+    armon(reference_params("Sod_circ", np.float64, is_ref=True, **sharded))
+    # the replicated dt of the mesh run == the single-device dt, bitwise
+    a = (tmp_path / "s" / "ck_000_time_step_X").read_text()
+    b = (tmp_path / "m" / "ck_000_time_step_X").read_text()
+    assert a == b
