@@ -140,6 +140,85 @@ def test_halo_debug_indexes():
                         f"block ({bx},{by}) ghost ({jj},{ii})"
 
 
+def test_both_axes_uneven_bit_exact():
+    """BOTH axes uneven at once — N=(100,99) over P=(3,2): ceil-split slack
+    on X (34,34,32) and Y (50,49), a corner shard with dead cells in both
+    dims, traced halo destinations on both axes and the CFL-mask cross
+    term (`test/mpi.jl:464-475` + remainder rule `src/parameters.jl:673-697`).
+    Must be bit-exact vs single-device."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+    single = reference_params("Sod_circ", np.float64, N=(100, 99), maxcycle=20)
+    ref_host, ref_cycles, ref_dt = run(single)
+    sharded = reference_params("Sod_circ", np.float64, N=(100, 99),
+                               maxcycle=20, P=(3, 2))
+    cfg = sharded.config
+    from armon_tpu import Axis as Ax
+    assert cfg.uneven(Ax.X) and cfg.uneven(Ax.Y)
+    host, cycles, dt = run(sharded)
+    assert cycles == ref_cycles and dt == ref_dt
+    g = single.nghost
+    for var in ("rho", "u", "v", "E", "p"):
+        a = getattr(ref_host, var)[g:-g, g:-g]
+        b = getattr(host, var)[g:-g, g:-g]
+        assert np.array_equal(a, b), f"{var} differs (both-axes-uneven)"
+
+
+def test_both_axes_uneven_poisoned_slack():
+    """1e100 poison in every ghost cell AND every dead slack cell of the
+    edge shards must never reach a real cell (the sharded analog of
+    `test/convergence.jl:67-102` plus the dead-slack invariant of the
+    padded uneven-split design)."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+    single = reference_params("Sod_circ", np.float64, N=(100, 99), maxcycle=15)
+    ref_host, ref_cycles, ref_dt = run(single)
+
+    params = reference_params("Sod_circ", np.float64, N=(100, 99),
+                              maxcycle=15, P=(3, 2))
+    cfg = params.config
+    state = make_init(params)()
+
+    from jax.sharding import NamedSharding
+    from armon_tpu.parallel.mesh import shard_state_spec
+    mesh, state_spec, _ = _mesh_and_specs(params)
+    sharding = NamedSharding(mesh, shard_state_spec(cfg.axis_names))
+    g = cfg.nghost
+    lr, lc = cfg.local_shape
+    px, py = cfg.proc_dims
+    nxl, nyl = cfg.n_local
+    ex, ey = cfg.edge_cells
+
+    # Per-shard mask: everything OUTSIDE the real window (ghost bands,
+    # mirror bands at per-shard positions, corners, dead slack)
+    def shard_mask(bx, by):
+        m = np.ones((lr, lc), bool)
+        hy = ey if by == py - 1 else nyl
+        wx = ex if bx == px - 1 else nxl
+        m[g:g + hy, g:g + wx] = False
+        return m
+
+    full_mask = np.block([[shard_mask(bx, by) for bx in range(px)]
+                          for by in range(py)])
+    poisoned = {}
+    for var in ("rho", "u", "v", "E", "p", "c", "g"):
+        a = np.asarray(jax.device_get(getattr(state, var))).copy()
+        a[full_mask] = 1e100
+        poisoned[var] = jax.device_put(a, sharding)
+    state = state._replace(**poisoned)
+
+    loop = make_jit_loop(params)
+    state, t, cycles, dt, lm, ok = loop(state)
+    assert bool(ok) and int(cycles) == ref_cycles
+    assert float(dt) == ref_dt
+    host = gather_state(params, state)
+    gg = g
+    for var in ("rho", "u", "v", "E"):
+        a = getattr(ref_host, var)[gg:-gg, gg:-gg]
+        b = getattr(host, var)[gg:-gg, gg:-gg]
+        assert np.array_equal(a, b), f"{var}: poison leaked into real cells"
+
+
 @pytest.mark.parametrize("test", ["Sedov", "Bizarrium"])
 def test_sharded_sedov_bizarrium(test):
     """The reference excludes Sedov/Bizarrium from its MPI tests — they are

@@ -96,6 +96,36 @@ def test_per_shard_files_roundtrip(tmp_path):
             assert np.array_equal(a, data[:, k].reshape(hy, wx)), (coords, v)
 
 
+def test_both_axes_uneven_windows(tmp_path):
+    """Window reader + per-shard writer under a BOTH-axes-uneven split
+    (N=(50,49) over P=(3,2): corner shard short in both dims)."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+    from armon_tpu.io.output import write_state_file, read_state_file, _read_rows
+    params = reference_params("Sod_circ", np.float64, N=(50, 49), P=(3, 2),
+                              maxcycle=5)
+    cfg = params.config
+    from armon_tpu import Axis as Ax
+    assert cfg.uneven(Ax.X) and cfg.uneven(Ax.Y)
+    state, _ = _run(params)
+    host = gather_state(params, state)
+    path = str(tmp_path / "global")
+    write_state_file(cfg, host, path)
+    full = read_state_file(cfg, path)
+    seen = 0
+    for coords, blocks in shard_coords_iter(params, state):
+        _, win = read_global_file_window(cfg, path, coords)
+        rs, cs, r0, c0 = shard_real_window(cfg, coords)
+        hy, wx = rs.stop - rs.start, cs.stop - cs.start
+        for v in SAVED_VARS:
+            assert np.array_equal(full[v][r0:r0 + hy, c0:c0 + wx],
+                                  win[v]), (coords, v)
+            assert np.array_equal(blocks[v][rs, cs],
+                                  win[v]), (coords, v, "shard vs window")
+        seen += hy * wx
+    assert seen == 50 * 49  # every real cell covered exactly once
+
+
 def test_armon_writes_per_shard_files(tmp_path):
     """End-to-end: write_output + use_MPI on a mesh writes `_<cx>×<cy>`
     files (`src/io.jl:53-56` naming), not one global file."""
