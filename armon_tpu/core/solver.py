@@ -68,7 +68,12 @@ class SolverStats:
 # would retrace/recompile identical programs (SolverConfig has value
 # semantics, so equal configs share cache entries). Keyed off the config
 # plus the builder kind; skipped when an explicit device list is given.
-_FN_CACHE = {}
+# LRU-bounded so parameter sweeps in one process don't grow it unboundedly
+# (the jit executables themselves stay in XLA's own cache).
+from collections import OrderedDict
+
+_FN_CACHE = OrderedDict()
+_FN_CACHE_MAX = 64
 
 
 def _cached(params, kind, build):
@@ -78,6 +83,10 @@ def _cached(params, kind, build):
     fn = _FN_CACHE.get(key)
     if fn is None:
         fn = _FN_CACHE[key] = build()
+        while len(_FN_CACHE) > _FN_CACHE_MAX:
+            _FN_CACHE.popitem(last=False)
+    else:
+        _FN_CACHE.move_to_end(key)
     return fn
 
 
@@ -398,6 +407,74 @@ def _checkpointed_cycle(params, fns, state, dt_prev, cycle_idx, checkpoint):
     return state, dt_use, dt_next, ok, False
 
 
+def measure_sections(params, state, reps=3):
+    """Per-SECTION wall times of one solver cycle — the TPU-meaningful
+    analog of the reference's block-log event analysis
+    (`src/logging.jl:75-300`: per-event step counts, stall/wait shares).
+    Under XLA there is no host scheduler to instrument, so the operational
+    decomposition is the jitted cycle's pieces, timed as separately-jitted
+    steps over the CURRENT state (same traced ops as the production cycle;
+    the fused whole-cycle kernel overlaps some of these, so shares are
+    indicative, not additive to the fused cycle time).
+
+    Returns {section: seconds}: ghost_exchange_X/Y, sweep_X/Y (fused tier)
+    or eos/bc/fluxes/update/remap per axis (jnp tier), plus time_step."""
+    import time as _time
+    cfg = params.config
+    T = cfg.dtype.type
+    from .step import use_fused_tier, ghost_exchange, FUSED_EXCHANGE_VARS
+
+    def sync(out):
+        leaf = out[0] if isinstance(out, tuple) else out
+        if isinstance(leaf, State):
+            leaf = leaf.rho
+        return float(np.asarray(jax.device_get(leaf)).ravel()[0])
+
+    def timeit(fn, *args):
+        out = fn(*args)
+        sync(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            out = fn(*args)
+            sync(out)
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    dt = T(getattr(params, "_probe_dt", 1e-6))
+    sections = {}
+    if use_fused_tier(cfg):
+        from .step import fused_sweep_step
+
+        def build(f, n_in):
+            if not cfg.spmd:
+                return jax.jit(f)
+            _, sspec, rep = _mesh_and_specs(params)
+            specs = (sspec,) + (rep,) * (n_in - 1)
+            return _shard(params, f, in_specs=specs,
+                          out_specs=(sspec, rep))
+
+        for axis in (Axis.X, Axis.Y):
+            ex = build(lambda s, a=axis: (ghost_exchange(
+                cfg, s, a, FUSED_EXCHANGE_VARS), jnp.zeros(())), 1)
+            sections[f"ghost_exchange_{axis.name}"] = timeit(ex, state)
+            sw = build(lambda s, d, a=axis: fused_sweep_step(cfg, s, a, d), 2)
+            sections[f"sweep_{axis.name}"] = timeit(sw, state, dt)
+    else:
+        fns = _make_step_fns(params)
+        for axis in (Axis.X, Axis.Y):
+            sections[f"eos_{axis.name}"] = timeit(fns[("eos", axis)], state)
+            sections[f"bc_{axis.name}"] = timeit(fns[("bc", axis)], state)
+            sections[f"fluxes_{axis.name}"] = timeit(fns[("fluxes", axis)],
+                                                     state, dt)
+            sections[f"update_{axis.name}"] = timeit(fns[("update", axis)],
+                                                     state, dt)
+            sections[f"remap_{axis.name}"] = timeit(fns[("remap", axis)],
+                                                    state, dt)
+        sections["time_step"] = timeit(fns["dt"], state, T(1e-6), np.int32(2))
+    return sections
+
+
 def gather_state(params, state: State) -> State:
     """Bring a (possibly sharded, blocked-layout) state back to a host-side
     globally-padded State — `device_to_host!` (`src/blocking/block_grid.jl:712-737`)."""
@@ -541,6 +618,15 @@ def armon(params: ArmonParameters, checkpoint=None,
                 solver_error("time", f"Invalid time step at cycle {cycles}")
 
     solve_time = time.perf_counter() - solve_start
+
+    if solver_log is not None and cycles > 0:
+        # Per-section breakdown of the cycle (the `analyse_log_stats`
+        # analog, src/logging.jl:75-300) — measured on the final state.
+        try:
+            solver_log.sections = measure_sections(params, state)
+        except Exception as e:  # a probe failure must not kill the run
+            import warnings
+            warnings.warn(f"section probe failed: {type(e).__name__}: {e}")
 
     # Final conservation check (src/solver.jl:467-490)
     if params.check_result and params.test.is_conservative and cycles > 0:

@@ -11,9 +11,28 @@ and resume bit-exactly.
     state, t, cycles, dt_prev, local_min = load_checkpoint(path, params)
     armon(params, restore_from=path)
 
+Two layouts:
+
+- **global** (single-device default): one npz with the gathered padded
+  global state.
+- **per-shard** (mesh default): one npz per shard named
+  `<path minus .npz>_<cx>×<cy>.npz` (the `src/io.jl:53-56` coordinate
+  naming), each holding that shard's full padded block VERBATIM plus the
+  scalars — written through `shard_coords_iter` with NO global gather, so
+  host memory stays O(shard) at any mesh/grid scale, and the reloaded
+  device state is bit-identical to the running one (ghost bands and
+  dead-slack cells included, which the global layout's edge-replication
+  reconstruction does not preserve — both resume bit-exactly, since
+  slack/ghost contents are dead or refilled before use).
+
+`load_checkpoint` auto-detects the layout on disk.
+
 Periodic saving: ``checkpoint_step=N`` writes `<output_file>.ckpt.npz`
-every N cycles (forces the per-cycle driver).
+every N cycles (forces the per-cycle driver); sharded runs with `use_MPI`
+write the per-shard layout, mirroring the distributed-output rule.
 """
+
+import os
 
 import numpy as np
 
@@ -30,40 +49,122 @@ def _fingerprint(params):
             f"{cfg.splitting}|{cfg.proc_dims}")
 
 
-def save_checkpoint(path, params, state, t, cycles, dt_prev, local_min=None):
-    """Write an exact snapshot. `state` may be sharded (gathered here).
-    `local_min` is the fused tier's carried CFL minimum; when omitted it is
-    taken from the params' last jit-loop run if available."""
-    from ..core.solver import gather_state
+def _shard_ckpt_path(path, coords):
+    """`<path>_<cx>×<cy>[.npz]` — the `src/io.jl:53-56` coordinate naming
+    applied to snapshot files."""
+    path = str(path)
+    base = path[:-4] if path.endswith(".npz") else path
+    return f"{base}_{coords[0]}×{coords[1]}.npz"
+
+
+def _scalars(params, t, cycles, dt_prev, local_min):
     if local_min is None:
         local_min = getattr(params, "_final_local_min", None)
-    host = gather_state(params, state)
-    arrays = {f"field_{name}": np.asarray(a)
-              for name, a in zip(State._fields, host)}
-    np.savez(
-        path,
+    return dict(
         __fingerprint=np.array(_fingerprint(params)),
         __t=np.asarray(t), __cycles=np.int64(cycles),
         __dt_prev=np.asarray(dt_prev),
         __local_min=np.asarray(local_min if local_min is not None else np.nan),
-        **arrays,
     )
 
 
+def save_checkpoint(path, params, state, t, cycles, dt_prev, local_min=None,
+                    per_shard=None):
+    """Write an exact snapshot. `local_min` is the fused tier's carried CFL
+    minimum; when omitted it is taken from the params' last jit-loop run if
+    available. `per_shard=None` (auto) selects the no-gather per-shard
+    layout for sharded runs with `use_MPI` (the distributed-output rule);
+    True/False force it."""
+    cfg = params.config
+    if per_shard is None:
+        per_shard = cfg.spmd and params.use_MPI
+    scalars = _scalars(params, t, cycles, dt_prev, local_min)
+
+    if per_shard and cfg.spmd:
+        from .subdomain import shard_coords_iter
+        for coords, blocks in shard_coords_iter(params, state,
+                                                vars=State._fields):
+            np.savez(_shard_ckpt_path(path, coords),
+                     **scalars,
+                     **{f"field_{v}": blocks[v] for v in State._fields})
+        return
+
+    from ..core.solver import gather_state
+    host = gather_state(params, state)
+    arrays = {f"field_{name}": np.asarray(a)
+              for name, a in zip(State._fields, host)}
+    np.savez(path, **scalars, **arrays)
+
+
+def _check_scalars(z, params, path):
+    fp = str(z["__fingerprint"])
+    if fp != _fingerprint(params):
+        solver_error("config",
+                     f"checkpoint {path} was written with a different "
+                     f"configuration:\n  {fp}\n  != {_fingerprint(params)}")
+    t = float(z["__t"])
+    cycles = int(z["__cycles"])
+    dt_prev = float(z["__dt_prev"])
+    lm = float(z["__local_min"])
+    return t, cycles, dt_prev, (None if np.isnan(lm) else lm)
+
+
 def load_checkpoint(path, params):
-    """Read a snapshot back; validates the config fingerprint. Returns
+    """Read a snapshot back (auto-detecting global vs per-shard layout);
+    validates the config fingerprint. Returns
     (device_state, t, cycles, dt_prev, local_min|None)."""
+    if not os.path.exists(path) or (params.config.spmd and
+                                    os.path.exists(_shard_ckpt_path(path, (0, 0)))):
+        return _load_per_shard(path, params)
+
     from ..core.solver import host_to_device
     with np.load(path, allow_pickle=False) as z:
-        fp = str(z["__fingerprint"])
-        if fp != _fingerprint(params):
-            solver_error("config",
-                         f"checkpoint was written with a different "
-                         f"configuration:\n  {fp}\n  != {_fingerprint(params)}")
+        meta = _check_scalars(z, params, path)
         host = State(*[z[f"field_{name}"] for name in State._fields])
-        t = float(z["__t"])
-        cycles = int(z["__cycles"])
-        dt_prev = float(z["__dt_prev"])
-        lm = float(z["__local_min"])
     state = host_to_device(params, host)
-    return state, t, cycles, dt_prev, (None if np.isnan(lm) else lm)
+    return (state,) + meta
+
+
+def _load_per_shard(path, params):
+    """Rebuild the sharded device state from per-shard npz files — each
+    field becomes a global jax.Array assembled with
+    `make_array_from_single_device_arrays`; no host-global array exists at
+    any point."""
+    from jax.sharding import NamedSharding
+    from ..parallel.mesh import make_mesh, shard_state_spec
+    cfg = params.config
+    if not cfg.spmd:
+        solver_error("config", f"checkpoint {path} not found")
+    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices)
+    sharding = NamedSharding(mesh, shard_state_spec(cfg.axis_names))
+    lr, lc = cfg.local_shape
+    px, py = cfg.proc_dims
+    gshape = (py * lr, px * lc)
+
+    idx_map = sharding.addressable_devices_indices_map(gshape)
+    meta = None
+    per_coords = {}
+    for dev, idx in idx_map.items():
+        r0 = idx[0].start or 0
+        c0 = idx[1].start or 0
+        coords = (c0 // lc, r0 // lr)
+        spath = _shard_ckpt_path(path, coords)
+        if not os.path.exists(spath):
+            solver_error("config", f"checkpoint shard file {spath} not found")
+        with np.load(spath, allow_pickle=False) as z:
+            m = _check_scalars(z, params, spath)
+            if meta is None:
+                meta = m
+            elif m[:3] != meta[:3]:
+                solver_error("config",
+                             f"checkpoint shard {spath} carries different "
+                             f"scalars than shard 0: {m} != {meta}")
+            per_coords[dev] = {v: z[f"field_{v}"] for v in State._fields}
+
+    fields = []
+    for v in State._fields:
+        arrs = [jax.device_put(per_coords[dev][v], dev)
+                for dev in idx_map]
+        fields.append(jax.make_array_from_single_device_arrays(
+            gshape, sharding, arrs))
+    return (State(*fields),) + meta

@@ -18,24 +18,24 @@ import numpy as np
 from ..core.state import State, SAVED_VARS
 
 
-def shard_coords_iter(params, state: State):
+def shard_coords_iter(params, state: State, vars=SAVED_VARS):
     """Yield ((bx, by), {var: padded (lr, lc) numpy block}) for every
     addressable shard, without assembling the global array."""
     cfg = params.config
     lr, lc = cfg.local_shape
     if not cfg.spmd:
-        yield (0, 0), {v: np.asarray(getattr(state, v)) for v in SAVED_VARS}
+        yield (0, 0), {v: np.asarray(getattr(state, v)) for v in vars}
         return
     # Group the per-variable shards by their block position.
-    ref_shards = getattr(state, SAVED_VARS[0]).addressable_shards
+    ref_shards = getattr(state, vars[0]).addressable_shards
     positions = []
     for sh in ref_shards:
         r0 = sh.index[0].start or 0
         c0 = sh.index[1].start or 0
         positions.append((r0 // lr, c0 // lc))
-    per_var = {v: getattr(state, v).addressable_shards for v in SAVED_VARS}
+    per_var = {v: getattr(state, v).addressable_shards for v in vars}
     for k, (by, bx) in enumerate(positions):
-        yield (bx, by), {v: np.asarray(per_var[v][k].data) for v in SAVED_VARS}
+        yield (bx, by), {v: np.asarray(per_var[v][k].data) for v in vars}
 
 
 def shard_real_window(cfg, coords):

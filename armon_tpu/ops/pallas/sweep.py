@@ -174,13 +174,17 @@ def _div_shared(div, b):
 
 
 def _godunov(rc_l, rc_r, u_i, u_im, p_i, p_im, div=None):
-    # src/riemann_schemes.jl:21-30 (rc = rho*c acoustic impedances)
+    # src/riemann_schemes.jl:21-30 (rc = rho*c acoustic impedances).
+    # Also returns the impedance sum rc_l + rc_r: the GAD theta factor
+    # consumes the same sum (src/riemann_schemes.jl:76-80), so forming it
+    # once saves an add per cell.
     if div is None:
         div = _EXACT_DIV
-    over = _div_shared(div, rc_l + rc_r)
+    rc_sum = rc_l + rc_r
+    over = _div_shared(div, rc_sum)
     ustar = over(rc_l * u_im + rc_r * u_i + (p_im - p_i))
     pstar = over(rc_r * p_im + rc_l * p_i + rc_l * rc_r * (u_im - u_i))
-    return ustar, pstar
+    return ustar, pstar, rc_sum
 
 
 def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
@@ -210,14 +214,14 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
     # ---- Riemann fluxes. sh is a permutation, so sh(rc) == sh(rho)*sh(c)
     # bitwise — the shifted impedances equal the reference's rho_m*c_m.
     if cfg.riemann == "Godunov":
-        ustar, pstar = _godunov(sh(rc, -1), rc,
-                                uax, sh(uax, -1), p, sh(p, -1), div)
+        ustar, pstar, _ = _godunov(sh(rc, -1), rc,
+                                   uax, sh(uax, -1), p, sh(p, -1), div)
     else:  # GAD (src/riemann_schemes.jl:55-104)
         rc_l = sh(rc, -1)
         u_m = sh(uax, -1)
         p_m = sh(p, -1)
 
-        us_i, ps_i = _godunov(rc_l, rc, uax, u_m, p, p_m, div)
+        us_i, ps_i, rc_sum = _godunov(rc_l, rc, uax, u_m, p, p_m, div)
         # The neighbouring interface solves are the SAME elementwise map on
         # shifted inputs, and `sh` is a rotation (a permutation), which
         # commutes exactly with elementwise math: deriving them by shifting
@@ -242,12 +246,13 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
         dm_l = sh(dm, -1)
         if div is _EXACT_DIV:
             Dm = (dm_l + dm) / 2
-            theta = T(0.5) * (1 - (rc_l + rc) / 2 * div_r(dt, Dm))
+            theta = T(0.5) * (1 - rc_sum / 2 * div_r(dt, Dm))
         else:
             # fast_math: the two /2 cancel — theta = (1 - S*dt/D)/2 with
-            # S = rc_l+rc, D = dm_l+dm; ~1 ulp from the reference form on a
-            # 2nd-order correction factor (same argument as div_r itself).
-            theta = T(0.5) * (1 - (rc_l + rc) * div_r(dt, dm_l + dm))
+            # S = rc_l+rc (shared with the Godunov denominator), D =
+            # dm_l+dm; ~1 ulp from the reference form on a 2nd-order
+            # correction factor (same argument as div_r itself).
+            theta = T(0.5) * (1 - rc_sum * div_r(dt, dm_l + dm))
 
         ustar = us_i + theta * (r_up * d_u - r_um * e_u)
         pstar = ps_i + theta * (r_pp * d_p - r_pm * e_p)
@@ -305,8 +310,20 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
             # negation and rounding are sign-symmetric) — 2 fewer
             # multiplies.
             dxe = jnp.where(up, sh(disp, -1) - dx, dx + sh(disp, 1))
-            r_m = div_c(2 * dX, dX + sh(dX, -1))
-            r_p = div_c(2 * dX, dX + sh(dX, 1))
+            # The r_m denominator is the -1 shift of the r_p one:
+            # (dX + sh(dX,1)) shifted by -1 is dX[i-1] + dX[i] (IEEE add is
+            # commutative, so the operand order flip is exact), and the
+            # approximate reciprocal is elementwise so it commutes with the
+            # shift too — one sum + one reciprocal instead of two of each,
+            # bitwise identical.
+            S_p = dX + sh(dX, 1)
+            if div is _EXACT_DIV:
+                r_p = (2 * dX) / S_p
+                r_m = (2 * dX) / sh(S_p, -1)
+            else:
+                rS_p = pl.reciprocal(S_p, approx=True)
+                r_p = (2 * dX) * rS_p
+                r_m = (2 * dX) * sh(rS_p, -1)
 
             def slope_base(q):
                 du_p = r_p * (sh(q, 1) - q)

@@ -27,20 +27,24 @@ class CycleLogEvent:
 class SolverLog:
     cell_count: int
     events: List[CycleLogEvent] = field(default_factory=list)
+    # {section: seconds} from core.solver.measure_sections (ghost exchange
+    # vs X kernel vs Y kernel vs dt) — the per-event breakdown analog of
+    # `analyse_log_stats` (src/logging.jl:75-300).
+    sections: dict = field(default_factory=dict)
 
     def push(self, cycle, t, dt, wall_seconds):
         self.events.append(CycleLogEvent(cycle, t, dt, wall_seconds))
 
     def analyse(self) -> dict:
-        """Summary stats (mean/σ cycle time, throughput, dt range) — the
-        `BlockGridLogStats` analog (`src/logging.jl:75-300`)."""
+        """Summary stats (mean/σ cycle time, throughput, dt range, section
+        shares) — the `BlockGridLogStats` analog (`src/logging.jl:75-300`)."""
         if not self.events:
             return {"cycles": 0}
         walls = [e.wall_seconds for e in self.events]
         n = len(walls)
         mean = sum(walls) / n
         var = sum((w - mean) ** 2 for w in walls) / n
-        return {
+        out = {
             "cycles": n,
             "mean_cycle_seconds": mean,
             "std_cycle_seconds": math.sqrt(var),
@@ -51,6 +55,12 @@ class SolverLog:
             "dt_last": self.events[-1].dt,
             "final_time": self.events[-1].t,
         }
+        if self.sections:
+            tot = sum(self.sections.values())
+            out["sections"] = dict(self.sections)
+            out["section_shares"] = {k: v / tot
+                                     for k, v in self.sections.items()}
+        return out
 
     def __repr__(self):
         a = self.analyse()

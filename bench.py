@@ -21,6 +21,7 @@ BASELINE = 5e9  # cell-updates/s/chip target (BASELINE.md)
 
 def bench(n=8192, dtype=np.float32, cycles=50, tier=None):
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     if np.dtype(dtype).itemsize == 8:
         jax.config.update("jax_enable_x64", True)
     from armon_tpu import ArmonParameters

@@ -29,6 +29,28 @@ def test_solver_log():
     assert a["mega_cells_per_sec"] > 0
     assert a["dt_first"] > 0 and a["final_time"] > 0
     assert "ms/cycle" in repr(log)
+    # per-section breakdown (the analyse_log_stats analog): every jnp-tier
+    # sub-step of both sweeps is timed, and shares sum to 1
+    assert a["sections"], "section probe did not run"
+    for sec in ("eos_X", "bc_X", "fluxes_Y", "remap_Y", "time_step"):
+        assert a["sections"][sec] > 0, sec
+    assert abs(sum(a["section_shares"].values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("spmd", [False, True], ids=["single", "mesh"])
+def test_solver_log_sections_fused(spmd):
+    """Fused tier: exchange vs X-kernel vs Y-kernel shares, single-device
+    and over the mesh."""
+    import jax
+    if spmd and len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    kw = dict(P=(2, 2)) if spmd else {}
+    params = reference_params("Sod_circ", np.float64, maxcycle=3,
+                              log_blocks=True, kernel_tier="pallas", **kw)
+    stats = armon(params)
+    a = stats.grid_log.analyse()
+    for sec in ("ghost_exchange_X", "sweep_X", "ghost_exchange_Y", "sweep_Y"):
+        assert a["sections"][sec] > 0, sec
 
 
 def test_unknown_profiler_rejected():

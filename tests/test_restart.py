@@ -70,6 +70,73 @@ def test_fingerprint_mismatch(tmp_path):
         load_checkpoint(ckpt, p_other)
 
 
+@pytest.mark.parametrize("P", [(2, 2), (3, 2)], ids=lambda p: f"{p[0]}x{p[1]}")
+def test_resume_per_shard_no_gather(tmp_path, P, monkeypatch):
+    """Per-shard snapshot layout: one npz per shard via shard_coords_iter,
+    loaded back with make_array_from_single_device_arrays — NO global
+    gather anywhere (asserted by poisoning gather_state), resume bit-exact
+    (incl. a both-axes-uneven mesh)."""
+    if len(jax.devices()) < P[0] * P[1]:
+        pytest.skip("not enough devices")
+    N = (40, 39) if P == (3, 2) else (40, 40)
+    ref_params, ref = full_run("Sod_circ", 12, P=P, N=N)
+    p1, s1 = full_run("Sod_circ", 5, P=P, N=N)
+
+    import armon_tpu.core.solver as solver_mod
+
+    def no_gather(*a, **k):
+        raise AssertionError("gather_state called in the no-gather path")
+
+    ckpt = tmp_path / "s.ckpt.npz"
+    orig = solver_mod.gather_state
+    monkeypatch.setattr(solver_mod, "gather_state", no_gather)
+    try:
+        save_checkpoint(ckpt, p1, s1.data, s1.final_time, s1.cycles,
+                        s1.last_dt, per_shard=True)
+        assert not ckpt.exists()  # only per-shard files
+        assert (tmp_path / "s.ckpt_0×0.npz").exists()
+        assert (tmp_path / f"s.ckpt_{P[0]-1}×{P[1]-1}.npz").exists()
+
+        p2 = reference_params("Sod_circ", np.float64, maxcycle=12, N=N,
+                              return_data=True, P=P)
+        state, t, cycles, dt_prev, lm = load_checkpoint(ckpt, p2)
+        # the reloaded device blocks are bit-identical to the running ones
+        for var in ("rho", "u", "v", "E"):
+            a = np.asarray(jax.device_get(getattr(s1.data, var)))
+            b = np.asarray(jax.device_get(getattr(state, var)))
+            assert np.array_equal(a, b), var
+    finally:
+        monkeypatch.setattr(solver_mod, "gather_state", orig)
+
+    s2 = armon(p2, restore_from=str(ckpt))
+    assert s2.cycles == ref.cycles and s2.last_dt == ref.last_dt
+    a = gather_state(ref_params, ref.data)
+    b = gather_state(p2, s2.data)
+    g = ref_params.nghost
+    for var in ("rho", "u", "v", "E"):
+        assert np.array_equal(getattr(a, var)[g:-g, g:-g],
+                              getattr(b, var)[g:-g, g:-g]), var
+
+
+def test_checkpoint_step_per_shard(tmp_path):
+    """checkpoint_step on a use_MPI mesh writes the per-shard layout."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    params = reference_params("Sod", np.float64, N=(40, 40), maxcycle=4,
+                              checkpoint_step=2, P=(2, 2), use_MPI=True,
+                              output_dir=str(tmp_path), output_file="run")
+    armon(params)
+    assert not (tmp_path / "run.ckpt.npz").exists()
+    for cx in range(2):
+        for cy in range(2):
+            assert (tmp_path / f"run.ckpt_{cx}×{cy}.npz").exists()
+    p2 = reference_params("Sod", np.float64, N=(40, 40), maxcycle=4,
+                          P=(2, 2), use_MPI=True)
+    state, t, cycles, dt_prev, lm = load_checkpoint(
+        tmp_path / "run.ckpt.npz", p2)
+    assert cycles == 4 and t > 0
+
+
 def test_resume_sharded(tmp_path):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
