@@ -188,7 +188,7 @@ def _godunov(rc_l, rc_r, u_i, u_im, p_i, p_im, div=None):
 
 
 def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
-                slope_shift=False):
+                slope_shift=False, variant=""):
     """Full sweep on one tile. `sh(a, k)` reads at offset +k along the sweep
     axis. `uax` is the velocity along the axis, `uot` the other one, `dx` the
     cell size along the axis (a T scalar). `div` is the division primitive:
@@ -310,20 +310,25 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
             # negation and rounding are sign-symmetric) — 2 fewer
             # multiplies.
             dxe = jnp.where(up, sh(disp, -1) - dx, dx + sh(disp, 1))
-            # The r_m denominator is the -1 shift of the r_p one:
-            # (dX + sh(dX,1)) shifted by -1 is dX[i-1] + dX[i] (IEEE add is
-            # commutative, so the operand order flip is exact), and the
-            # approximate reciprocal is elementwise so it commutes with the
-            # shift too — one sum + one reciprocal instead of two of each,
-            # bitwise identical.
-            S_p = dX + sh(dX, 1)
-            if div is _EXACT_DIV:
-                r_p = (2 * dX) / S_p
-                r_m = (2 * dX) / sh(S_p, -1)
+            # Two independent ratio chains. (A shared-sum/shifted-reciprocal
+            # form — r_m's denominator is the -1 shift of r_p's, and the
+            # elementwise reciprocal commutes with the shift — is bitwise
+            # identical with one fewer add+reciprocal, but measured SLOWER:
+            # -2.3% on X, -0.4% on Y ("shareB" A/B, round-3 probe): the
+            # sh(dX,-1) it removes is already CSE'd with dxl's select, so
+            # it adds a roll and a serial recip->roll->mul dependency.)
+            if "shareB" in variant:
+                S_p = dX + sh(dX, 1)
+                if div is _EXACT_DIV:
+                    r_p = (2 * dX) / S_p
+                    r_m = (2 * dX) / sh(S_p, -1)
+                else:
+                    rS_p = pl.reciprocal(S_p, approx=True)
+                    r_p = (2 * dX) * rS_p
+                    r_m = (2 * dX) * sh(rS_p, -1)
             else:
-                rS_p = pl.reciprocal(S_p, approx=True)
-                r_p = (2 * dX) * rS_p
-                r_m = (2 * dX) * sh(rS_p, -1)
+                r_m = div_c(2 * dX, dX + sh(dX, -1))
+                r_p = div_c(2 * dX, dX + sh(dX, 1))
 
             def slope_base(q):
                 du_p = r_p * (sh(q, 1) - q)
@@ -399,7 +404,8 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
 
 # ------------------------------------------------------------------- kernels
 
-def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None):
+def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None,
+                 mask_rows=True, mask_cols=True):
     """Per-tile CFL reduction over real cells (`src/reductions.jl:2-20`),
     using the post-sweep velocities with the pre-sweep sound speed (see
     module doc). Returns an (8, 128) block whose rows < 4 carry
@@ -409,14 +415,23 @@ def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None):
     the denominator) while removing the per-element division and min.
     `nx`/`ny` override the shard's real extent (traced, from SMEM) for
     uneven splits where the edge shard owns fewer real cells than the
-    padded block (`src/parameters.jl:673-697` analog)."""
+    padded block (`src/parameters.jl:673-697` analog).
+    `mask_rows`/`mask_cols`: callers running under a `pl.when(interior)`
+    branch drop the mask along a dimension the tile is known to cover with
+    real cells only — bitwise identical (an all-True mask selects every
+    element) with the iota/compare/select work gone."""
     g = cfg.nghost
     if nx is None:
         nx, ny = cfg.n_local
     shp = u_new.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + row0
-    cols = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + col0
-    real = ((rows >= g) & (rows < g + ny) & (cols >= g) & (cols < g + nx))
+    real = None
+    if mask_rows:
+        rows = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + row0
+        real = (rows >= g) & (rows < g + ny)
+    if mask_cols:
+        cols = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + col0
+        cmask = (cols >= g) & (cols < g + nx)
+        real = cmask if real is None else (real & cmask)
     zero = T(0.0)
     # max(|u+c|, |u-c|) == |u| + c bitwise for finite c >= 0: the winning
     # branch is the single rounded addition of |u| and c either way (IEEE
@@ -424,8 +439,11 @@ def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None):
     # (u = ±inf with c = inf gives inf here vs the old form's NaN → dt = 0
     # instead of dt = NaN; the driver's `isfinite(dt) & (dt > 0)` gate
     # rejects both identically — see ops/reductions.py:dt_cfl_min.)
-    mx = jnp.where(real, jnp.abs(u_new) + c_old, zero)
-    my = jnp.where(real, jnp.abs(v_new) + c_old, zero)
+    mx = jnp.abs(u_new) + c_old
+    my = jnp.abs(v_new) + c_old
+    if real is not None:
+        mx = jnp.where(real, mx, zero)
+        my = jnp.where(real, my, zero)
     half = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) < 4
     return jnp.where(half, jnp.max(mx), jnp.max(my))
 
@@ -440,7 +458,8 @@ def _dt_from_tiles(cfg, dt_tiles):
     return jnp.minimum(T(cfg.dx) / mx, T(cfg.dy) / my)
 
 
-def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, dt_ref, lim_ref,
+def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant,
+                    dt_ref, lim_ref,
                     rho_ref, u_ref, v_ref, E_ref, *outs):
     T = np.dtype(cfg.dtype).type
     dt = dt_ref[0, 0]
@@ -458,7 +477,8 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, dt_ref, lim_ref,
                                                rho, u, v, E,
                                                _make_div(cfg, interp),
                                                need_c=emit_dt,
-                                               slope_shift=True)
+                                               slope_shift=True,
+                                               variant=variant)
     outs[0][:], outs[1][:], outs[2][:], outs[3][:] = rho2, u2, v2, E2
     if emit_p:
         outs[4][:] = p_st
@@ -470,12 +490,25 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, dt_ref, lim_ref,
         def _():
             outs[-1][:] = jnp.zeros((8, 128), cfg.dtype)
 
-        m = _dt_tile_min(cfg, T, u2, v2, c_st, i * tile_r, 0,
-                         nx=lim_ref[0, 0], ny=lim_ref[0, 1])
-        outs[-1][:] = jnp.maximum(outs[-1][:], m)
+        g = cfg.nghost
+        nx, ny = lim_ref[0, 0], lim_ref[0, 1]
+        row0 = i * tile_r
+        row_interior = (row0 >= g) & (row0 + tile_r <= g + ny)
+
+        @pl.when(row_interior)
+        def _():
+            m = _dt_tile_min(cfg, T, u2, v2, c_st, row0, 0,
+                             nx=nx, ny=ny, mask_rows=False)
+            outs[-1][:] = jnp.maximum(outs[-1][:], m)
+
+        @pl.when(jnp.logical_not(row_interior))
+        def _():
+            m = _dt_tile_min(cfg, T, u2, v2, c_st, row0, 0, nx=nx, ny=ny)
+            outs[-1][:] = jnp.maximum(outs[-1][:], m)
 
 
 def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, emit_p, emit_dt, interp,
+                    variant,
                     dt_ref, lim_ref,
                     rho_c, rho_a, rho_b, u_c, u_a, u_b,
                     v_c, v_a, v_b, E_c, E_a, E_b, *outs):
@@ -507,7 +540,8 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, emit_p, emit_dt, interp,
                                                rho, v, u, E,
                                                _make_div(cfg, interp),
                                                need_c=emit_dt,
-                                               slope_shift=True)
+                                               slope_shift=True,
+                                               variant=variant)
 
     sl = slice(H, H + chunk)
     outs[0][:], outs[1][:], outs[2][:], outs[3][:] = \
@@ -520,10 +554,25 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, emit_p, emit_dt, interp,
         def _():
             outs[-1][:] = jnp.zeros((8, 128), cfg.dtype)
 
-        m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl],
-                         ci * chunk, cj * tile_c,
-                         nx=lim_ref[0, 0], ny=lim_ref[0, 1])
-        outs[-1][:] = jnp.maximum(outs[-1][:], m)
+        g = cfg.nghost
+        nx, ny = lim_ref[0, 0], lim_ref[0, 1]
+        row0, col0 = ci * chunk, cj * tile_c
+        # Interior tiles (everything real) skip the mask build entirely —
+        # bitwise identical (all-True mask), measured on the CFL section.
+        interior = ((row0 >= g) & (row0 + chunk <= g + ny)
+                    & (col0 >= g) & (col0 + tile_c <= g + nx))
+
+        @pl.when(interior)
+        def _():
+            m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], row0, col0,
+                             nx=nx, ny=ny, mask_rows=False, mask_cols=False)
+            outs[-1][:] = jnp.maximum(outs[-1][:], m)
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], row0, col0,
+                             nx=nx, ny=ny)
+            outs[-1][:] = jnp.maximum(outs[-1][:], m)
 
 
 # ------------------------------------------------------------------ wrappers
@@ -553,9 +602,10 @@ def _halo_strips(x, chunk, rows):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "axis", "emit_p",
-                                             "emit_dt", "interpret"))
+                                             "emit_dt", "interpret",
+                                             "variant"))
 def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
-                   emit_p=True, emit_dt=True, interpret=False):
+                   emit_p=True, emit_dt=True, interpret=False, variant=""):
     """In-place variant of `fused_sweep`: the four field outputs ALIAS their
     input buffers (`input_output_aliases`), so inside the jitted time loop
     XLA updates the while-loop carry with zero full-array copies (the
@@ -596,7 +646,7 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
-                                   emit_p, emit_dt, interpret)
+                                   emit_p, emit_dt, interpret, variant)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -622,7 +672,7 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
                              memory_space=pltpu.VMEM)
 
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
-                                   8, emit_p, emit_dt, interpret)
+                                   8, emit_p, emit_dt, interpret, variant)
         smem = pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
                             memory_space=pltpu.SMEM)
         in_specs = [smem,
@@ -630,11 +680,31 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
                                  memory_space=pltpu.SMEM)]
         args = [dt_arr, lim_arr]
         aliases = {}
+        # "below_direct" experiment: the BELOW halo rows of chunk i are the
+        # head of chunk i+1, which the grid (ascending, sequential on TPU)
+        # only overwrites at step i+1 — strictly after step i's input fetch
+        # — so they can be read straight from the aliased main array via an
+        # index map, halving the side-strip assembly. The ABOVE rows are
+        # chunk i-1's tail, already overwritten, and must keep the strips.
+        below_direct = "below_direct" in variant
+        if below_direct:
+            blocks_tot = pl.cdiv(rows, 8)
+
+            def below_map(i, j):
+                return _im(jnp.minimum((i + 1) * (chunk // 8),
+                                       blocks_tot - 1), j)
+
+            below_spec = pl.BlockSpec((8, tile_c), below_map,
+                                      memory_space=pltpu.VMEM)
         for k, a in enumerate((rho, u, v, E)):
             above, below = _halo_strips(a, chunk, rows)
-            in_specs += [cur, strip, strip]
             aliases[2 + 3 * k] = k
-            args += [a, above, below]
+            if below_direct:
+                in_specs += [cur, strip, below_spec]
+                args += [a, above, a]
+            else:
+                in_specs += [cur, strip, strip]
+                args += [a, above, below]
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -680,7 +750,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
-                                   True, True, interpret)
+                                   True, True, interpret, "")
         dtmin_spec = pl.BlockSpec((8, 128), lambda i: _im(0, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
@@ -724,7 +794,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
                              memory_space=pltpu.VMEM)
 
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
-                                   halo_blk, True, True, interpret)
+                                   halo_blk, True, True, interpret, "")
         in_specs = [pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((1, 2), lambda i, j: _im(0, 0),
@@ -815,9 +885,24 @@ def _cycle_kernel(cfg, chunk, x_first, interp,
     def _():
         dtmin_o[:] = jnp.zeros((8, 128), cfg.dtype)
 
-    m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], ci * chunk, 0,
-                     nx=lim_ref[0, 0], ny=lim_ref[0, 1])
-    dtmin_o[:] = jnp.maximum(dtmin_o[:], m)
+    g = cfg.nghost
+    nx, ny = lim_ref[0, 0], lim_ref[0, 1]
+    row0 = ci * chunk
+    # Full-width tiles always straddle the ghost columns (col mask stays);
+    # interior row ranges drop the row mask — bitwise identical.
+    row_interior = (row0 >= g) & (row0 + chunk <= g + ny)
+
+    @pl.when(row_interior)
+    def _():
+        m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], row0, 0,
+                         nx=nx, ny=ny, mask_rows=False)
+        dtmin_o[:] = jnp.maximum(dtmin_o[:], m)
+
+    @pl.when(jnp.logical_not(row_interior))
+    def _():
+        m = _dt_tile_min(cfg, T, u2[sl], v2[sl], c_st[sl], row0, 0,
+                         nx=nx, ny=ny)
+        dtmin_o[:] = jnp.maximum(dtmin_o[:], m)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "x_first",

@@ -19,7 +19,7 @@ import numpy as np
 BASELINE = 5e9  # cell-updates/s/chip target (BASELINE.md)
 
 
-def bench(n=8192, dtype=np.float32, cycles=50, tier=None):
+def bench(n=8192, dtype=np.float32, cycles=50, tier=None, ny=None):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     if np.dtype(dtype).itemsize == 8:
@@ -27,9 +27,10 @@ def bench(n=8192, dtype=np.float32, cycles=50, tier=None):
     from armon_tpu import ArmonParameters
     from armon_tpu.core.solver import make_init, make_jit_loop
 
+    ny = ny or n
     tier = tier or os.environ.get("ARMON_BENCH_TIER", "pallas")
     params = ArmonParameters(
-        test="Sod", N=(n, n), data_type=dtype, scheme="GAD",
+        test="Sod", N=(n, ny), data_type=dtype, scheme="GAD",
         projection="euler_2nd", riemann_limiter="minmod", nghost=4,
         maxcycle=cycles, maxtime=1e30, silent=5, measure_time=False,
         kernel_tier=tier,
@@ -53,28 +54,32 @@ def bench(n=8192, dtype=np.float32, cycles=50, tier=None):
 
     ran = int(ran_cycles)
     assert bool(ok) and ran == cycles, (ran, bool(ok))
-    cells_per_sec = n * n * ran / best
+    cells_per_sec = n * ny * ran / best
     return cells_per_sec, best, ran
 
 
 def main():
     n = int(os.environ.get("ARMON_BENCH_N", "8192"))
-    cycles = int(os.environ.get("ARMON_BENCH_CYCLES", "50"))
+    ny = int(os.environ.get("ARMON_BENCH_NY", "0")) or n
+    # 150 cycles ~ 2.2 s/run at the headline size: the per-dispatch tunnel
+    # round-trip (~26 ms, measured via a scalar-only loop in
+    # scripts/probe_small.py) stays < 1.5% of the measurement.
+    cycles = int(os.environ.get("ARMON_BENCH_CYCLES", "150"))
     dtype = np.float32 if os.environ.get("ARMON_BENCH_DTYPE", "f32") == "f32" \
         else np.float64
 
     try:
-        value, elapsed, ran = bench(n=n, dtype=dtype, cycles=cycles)
+        value, elapsed, ran = bench(n=n, ny=ny, dtype=dtype, cycles=cycles)
     except Exception as e:  # report failure as a zero measurement
         print(json.dumps({
-            "metric": "cell-updates/sec/chip (Sod %dx%d GAD+minmod euler_2nd)" % (n, n),
+            "metric": "cell-updates/sec/chip (Sod %dx%d GAD+minmod euler_2nd)" % (n, ny),
             "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}"[:300],
         }))
         return
 
     print(json.dumps({
-        "metric": f"cell-updates/sec/chip (Sod {n}x{n} "
+        "metric": f"cell-updates/sec/chip (Sod {n}x{ny} "
                   f"{np.dtype(dtype).name} GAD+minmod euler_2nd, {ran} cycles)",
         "value": round(value, 1),
         "unit": "cells/s",

@@ -25,11 +25,13 @@ import numpy as np
 
 def run_config(name, test, n, cycles, dtype, tier, fast=True):
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     from armon_tpu import ArmonParameters
     from armon_tpu.core.solver import make_init, make_jit_loop
 
+    N = n if isinstance(n, tuple) else (n, n)
     p = ArmonParameters(
-        test=test, N=(n, n), data_type=dtype, scheme="GAD",
+        test=test, N=N, data_type=dtype, scheme="GAD",
         projection="euler_2nd", riemann_limiter="minmod", nghost=4,
         maxcycle=cycles, maxtime=1e30, silent=5, measure_time=False,
         kernel_tier=tier, use_fast_math=fast)
@@ -45,13 +47,15 @@ def run_config(name, test, n, cycles, dtype, tier, fast=True):
         _ = float(np.asarray(out[1]))
         best = min(best, time.perf_counter() - t0)
     ran = int(out[2])
-    cells_s = n * n * ran / best
-    return {"config": name, "test": test, "N": n, "cycles": ran,
+    cells = N[0] * N[1]
+    cells_s = cells * ran / best
+    return {"config": name, "test": test, "N": f"{N[0]}x{N[1]}",
+            "cycles": ran,
             "dtype": np.dtype(dtype).name, "tier": tier,
             "fast_math": fast,
             "seconds": round(best, 4),
             "cells_per_sec": round(cells_s, 1),
-            "grind_ns_per_cell_cycle": round(best / ran / (n * n) * 1e9, 4)}
+            "grind_ns_per_cell_cycle": round(best / ran / cells * 1e9, 4)}
 
 
 def main():
@@ -71,13 +75,22 @@ def main():
     backend = jax.default_backend()
     dev = str(jax.devices()[0])
 
+    # Cycle counts sized so the per-dispatch tunnel round-trip (~26 ms,
+    # scripts/probe_small.py) stays a few % of each measurement — the
+    # round-2 counts under-reported the mid sizes by up to 2x (half of a
+    # 1000^2x100 measurement was RTT, not chip time).
     configs = [
-        ("1. Sod 100x100 (reference scale)", "Sod", 100, 200),
-        ("2a. Sod_circ 1000^2", "Sod_circ", 1000, 100),
-        ("2b. Sod_y 1000^2", "Sod_y", 1000, 100),
-        ("3. Sedov 2000^2", "Sedov", 2000, 50),
-        ("4. Bizarrium 4000^2", "Bizarrium", 4000, 25),
-        ("5. Sod 8192^2 (largest single-chip)", "Sod", 8192, 25),
+        ("1. Sod 100x100 (reference scale)", "Sod", 100, 2000),
+        ("2a. Sod_circ 1000^2", "Sod_circ", 1000, 1000),
+        ("2b. Sod_y 1000^2", "Sod_y", 1000, 1000),
+        ("3. Sedov 2000^2", "Sedov", 2000, 400),
+        ("4. Bizarrium 4000^2", "Bizarrium", 4000, 150),
+        ("5. Sod 8192^2 (largest single-chip)", "Sod", 8192, 100),
+        # Config 5's 16384-cell extent on ONE chip: 16384^2 f32 needs ~17 GB
+        # (12288^2 already OOMs — measured); a 16384x4096 strip fits (~5 GB
+        # by memory_required) and exercises the tile planner, halo strips
+        # and the X-sweep width at the target extent.
+        ("5b. Sod 16384x4096 strip (16384 extent)", "Sod", (16384, 4096), 100),
     ]
 
     results = []

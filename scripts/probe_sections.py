@@ -47,15 +47,16 @@ def make_cfg(n, riemann, limiter, projection):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "axis", "reps",
-                                             "emit_p", "emit_dt"))
-def sweep_loop(cfg, axis, reps, emit_p, emit_dt, rho, u, v, E, dt):
+                                             "emit_p", "emit_dt", "variant"))
+def sweep_loop(cfg, axis, reps, emit_p, emit_dt, variant, rho, u, v, E, dt):
     from armon_tpu.ops.pallas.sweep import fused_sweep_ip
 
     def body(_, carry):
         rho, u, v, E, acc = carry
         rho, u, v, E, _p, lm = fused_sweep_ip(
             cfg, axis, rho, u, v, E, dt,
-            emit_p=emit_p, emit_dt=emit_dt, interpret=False)
+            emit_p=emit_p, emit_dt=emit_dt, interpret=False,
+            variant=variant)
         acc = acc + (lm if lm is not None else rho[8, 8])
         return rho, u, v, E, acc
 
@@ -63,14 +64,15 @@ def sweep_loop(cfg, axis, reps, emit_p, emit_dt, rho, u, v, E, dt):
     return lax.fori_loop(0, reps, body, (rho, u, v, E, z))
 
 
-def time_loop(cfg, axis, fields, n, reps, label, emit_p=True, emit_dt=True):
+def time_loop(cfg, axis, fields, n, reps, label, emit_p=True, emit_dt=True,
+              variant=""):
     dt = cfg.dtype.type(1e-5)
-    out = sweep_loop(cfg, axis, reps, emit_p, emit_dt, *fields, dt)
+    out = sweep_loop(cfg, axis, reps, emit_p, emit_dt, variant, *fields, dt)
     _ = float(np.asarray(out[-1]))  # sync (block_until_ready no-op on axon)
     best = float("inf")
     for _r in range(3):
         t0 = time.perf_counter()
-        out = sweep_loop(cfg, axis, reps, emit_p, emit_dt, *fields, dt)
+        out = sweep_loop(cfg, axis, reps, emit_p, emit_dt, variant, *fields, dt)
         _ = float(np.asarray(out[-1]))
         best = min(best, (time.perf_counter() - t0) / reps)
     print(f"  {label:14s} {axis.name}: {n * n / best / 1e9:7.3f} Gcells/s/sweep"
@@ -81,9 +83,14 @@ def time_loop(cfg, axis, fields, n, reps, label, emit_p=True, emit_dt=True):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    only = sys.argv[3] if len(sys.argv) > 3 else None  # substring filter
 
     variants = [
         ("base", ("GAD", "minmod", "euler_2nd"), {}),
+        ("shareB (1-chain r_m/r_p)", ("GAD", "minmod", "euler_2nd"),
+         dict(variant="shareB")),
+        ("below_direct", ("GAD", "minmod", "euler_2nd"),
+         dict(variant="below_direct")),
         ("no_limiter", ("GAD", "no_limiter", "euler_2nd"), {}),
         ("euler1", ("GAD", "minmod", "euler"), {}),
         ("godunov2", ("Godunov", "minmod", "euler_2nd"), {}),
@@ -106,6 +113,8 @@ def main():
 
     base = {}
     for label, (riemann, limiter, projection), kw in variants:
+        if only and label != "base" and only not in label:
+            continue
         cfg = make_cfg(n, riemann, limiter, projection)
         for axis in (Axis.X, Axis.Y):
             try:

@@ -108,6 +108,25 @@ def main():
     v, el, ran = bench.bench(n=2048, dtype=np.float32, cycles=100)
     check("throughput sanity 2048^2", v > 1.2e9, f"{v:.3e} cells/s")
 
+    # Config 5's 16384-cell extent ON SILICON: the square doesn't fit one
+    # chip (12288^2 OOMs — measured) but a 16384x4096 strip does; golden-
+    # sanity it (finite, positive rho, conservation) and record throughput.
+    p = ArmonParameters(test="Sod", N=(16384, 4096), data_type=np.float32,
+                        maxcycle=10, maxtime=1e30, silent=5,
+                        measure_time=False, return_data=True,
+                        check_result=True)
+    import jax as _jax
+    stats = armon(p)
+    from armon_tpu.core.solver import make_conservation
+    m, e = make_conservation(p)(stats.data)
+    dm = abs(m - p.initial_mass) / p.initial_mass
+    rho = np.asarray(_jax.device_get(stats.data.rho))[4:-4, 4:-4]
+    check("16384x4096 strip physical + conservative",
+          bool(np.isfinite(rho).all() and rho.min() > 0 and dm < 1e-7),
+          f"rho in ({rho.min():.3f}, {rho.max():.3f}), |dM|/M={dm:.2e}")
+    v, el, ran = bench.bench(n=16384, ny=4096, dtype=np.float32, cycles=25)
+    check("16384-extent throughput", v > 3e9, f"{v:.3e} cells/s")
+
     print()
     if FAILED:
         print("FAILED:", ", ".join(FAILED))
