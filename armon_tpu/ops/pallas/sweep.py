@@ -680,31 +680,17 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
                                  memory_space=pltpu.SMEM)]
         args = [dt_arr, lim_arr]
         aliases = {}
-        # "below_direct" experiment: the BELOW halo rows of chunk i are the
-        # head of chunk i+1, which the grid (ascending, sequential on TPU)
-        # only overwrites at step i+1 — strictly after step i's input fetch
-        # — so they can be read straight from the aliased main array via an
-        # index map, halving the side-strip assembly. The ABOVE rows are
-        # chunk i-1's tail, already overwritten, and must keep the strips.
-        below_direct = "below_direct" in variant
-        if below_direct:
-            blocks_tot = pl.cdiv(rows, 8)
-
-            def below_map(i, j):
-                return _im(jnp.minimum((i + 1) * (chunk // 8),
-                                       blocks_tot - 1), j)
-
-            below_spec = pl.BlockSpec((8, tile_c), below_map,
-                                      memory_space=pltpu.VMEM)
+        # NOTE (round-3 negative result): reading the BELOW halo straight
+        # from the aliased main array via an index map (it is only written
+        # at grid step i+1, after step i's fetch) would halve the strip
+        # assembly — but passing the aliased buffer as a second operand
+        # makes XLA insert protective full-array copies: measured 9.4 ->
+        # 16.0 ms/Y-sweep at 8192². Both halo sides must come from strips.
         for k, a in enumerate((rho, u, v, E)):
             above, below = _halo_strips(a, chunk, rows)
             aliases[2 + 3 * k] = k
-            if below_direct:
-                in_specs += [cur, strip, below_spec]
-                args += [a, above, a]
-            else:
-                in_specs += [cur, strip, strip]
-                args += [a, above, below]
+            in_specs += [cur, strip, strip]
+            args += [a, above, below]
         out = pl.pallas_call(
             kernel,
             grid=grid,

@@ -69,13 +69,20 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     if rows <= 264:
         chunk = _round_up(rows, 8)
     else:
+        # Ragged-tail padding hurts ~4x its naive cell fraction (the tail
+        # tile still pays full pipeline latency): at 8200 rows the exact
+        # divisor 200 beats 216 (pad 8) 4.70 vs 4.66 Gcells/s and 232
+        # (pad 144) by 2.5% (round-3 full-loop chunk sweep).
         def _cost(c):
             pad = (-(-rows // c) * c - rows) / rows
-            return pad + 0.5 * 16.0 / (c + 16)
+            return 4.0 * pad + 0.5 * 16.0 / (c + 16)
         chunk = min(range(128, 257, 8), key=_cost)
     if block_size is not None:
-        by = max(8, _round_up(min(block_size[1], rows), 8))
-        chunk = min(chunk, by)
+        # The block-size option is authoritative (like the reference's
+        # cache-block size): it SETS the chunk height, clamped to the
+        # array and 8-row alignment — so perf sweeps can probe above the
+        # auto band too.
+        chunk = max(8, _round_up(min(block_size[1], rows), 8))
 
     if cols <= 512:
         tile_c = _round_up(cols, 128)

@@ -89,8 +89,6 @@ def main():
         ("base", ("GAD", "minmod", "euler_2nd"), {}),
         ("shareB (1-chain r_m/r_p)", ("GAD", "minmod", "euler_2nd"),
          dict(variant="shareB")),
-        ("below_direct", ("GAD", "minmod", "euler_2nd"),
-         dict(variant="below_direct")),
         ("no_limiter", ("GAD", "no_limiter", "euler_2nd"), {}),
         ("euler1", ("GAD", "minmod", "euler"), {}),
         ("godunov2", ("Godunov", "minmod", "euler_2nd"), {}),
