@@ -125,13 +125,17 @@ def fused_sweep_step(cfg, state, axis: Axis, dt, last=True):
     commutes bitwise with the mirror/halo copy). Returns (state, local_min)
     where local_min is this shard's CFL minimum of the post-sweep state.
     `last=False` (not the cycle's final sweep) skips the p stream and the
-    CFL reduction — neither is observable mid-cycle."""
-    from ..ops.pallas.sweep import fused_sweep_ip
-    state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
+    CFL reduction — neither is observable mid-cycle.
+    Single-device Y sweeps inline the mirror ghost fill in-kernel
+    (bitwise identical, saves the 8 slab-write launches)."""
+    from ..ops.pallas.sweep import fused_sweep_ip, inline_bc_y_ok
+    inline = axis is Axis.Y and inline_bc_y_ok(cfg, state.rho.shape)
+    if not inline:
+        state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
     rho, u, v, E, p_stale, local_min = fused_sweep_ip(
         cfg, axis, state.rho, state.u, state.v, state.E, dt,
         n_real=_shard_n_real(cfg), emit_p=last, emit_dt=last,
-        interpret=_pallas_interpret(cfg))
+        interpret=_pallas_interpret(cfg), inline_bc=inline)
     if p_stale is None:
         return state._replace(rho=rho, u=u, v=v, E=E), local_min
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
@@ -143,10 +147,12 @@ def fused_cycle_step(cfg, state, pair, dt):
     per cycle instead of one per sweep. Both ghost bands are pre-filled
     from the pre-pair state: valid because a sweep commutes bitwise with
     the orthogonal ghost fill (see the kernel docstring)."""
-    from ..ops.pallas.sweep import fused_cycle
+    from ..ops.pallas.sweep import fused_cycle, inline_bc_cycle_ok
     T = np.dtype(cfg.dtype).type
     state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
-    state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
+    inline = inline_bc_cycle_ok(cfg, state.rho.shape)
+    if not inline:
+        state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
     (ax0, f0), (ax1, f1) = pair
     x_first = ax0 is Axis.X
     fx = f0 if x_first else f1
@@ -154,7 +160,7 @@ def fused_cycle_step(cfg, state, pair, dt):
     rho, u, v, E, p_stale, local_min = fused_cycle(
         cfg, x_first, state.rho, state.u, state.v, state.E,
         dt * T(fx), dt * T(fy), n_real=_shard_n_real(cfg),
-        in_place=True, interpret=_pallas_interpret(cfg))
+        in_place=True, interpret=_pallas_interpret(cfg), inline_bc=inline)
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 

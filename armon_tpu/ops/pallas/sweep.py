@@ -404,6 +404,96 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
 
 # ------------------------------------------------------------------- kernels
 
+def _halo_cat_bc(above, cur, below, bc_y, f_lo, f_hi, ci, nci):
+    """Halo-concatenate one field buffer WITH the Y-axis mirror BC rows
+    spliced in (the in-kernel ghost fill, single-device path): ghost row k
+    from the border mirrors real row k, scaled by the per-variable factor
+    (`src/halo_exchange.jl:2-36` + `src/tests.jl:150-161`). Bitwise
+    identical to the XLA slab-write fill it replaces (same source rows,
+    same reversal, same multiply) and the SAME total concat volume as the
+    plain [above, cur, below] cat — it just cuts `cur` at the ghost bands
+    and substitutes mirrored rows on the first/last tiles, saving the 8
+    slab-write kernel launches per cycle. `bc_y` = (g, off) with `off` the
+    hi ghost band's offset within the last tile's cur block (static)."""
+    g, off = bc_y
+    T = cur.dtype.type
+
+    def flip_rows(x):
+        # Mosaic has no `rev` lowering: reverse the g rows (g static,
+        # <= 8) as single-row slices + concat.
+        return jnp.concatenate(
+            [x[k:k + 1] for k in range(x.shape[0] - 1, -1, -1)], 0)
+
+    mirror_lo = flip_rows(cur[g:2 * g])
+    if f_lo != 1.0:
+        mirror_lo = mirror_lo * T(f_lo)
+    lo = jnp.where(ci == 0, mirror_lo, cur[:g])
+    mirror_hi = flip_rows(cur[off - g:off])
+    if f_hi != 1.0:
+        mirror_hi = mirror_hi * T(f_hi)
+    hi = jnp.where(ci == nci - 1, mirror_hi, cur[off:off + g])
+    parts = [above, lo, cur[g:off], hi]
+    if off + g < cur.shape[0]:
+        parts.append(cur[off + g:])
+    parts.append(below)
+    return jnp.concatenate(parts, 0)
+
+
+def can_inline_bc_y(cfg, rows, chunk) -> bool:
+    """Whether the Y-axis ghost fill can run inside the kernel: single
+    device (the mesh path's ghost fill is the halo exchange), mirror bands
+    within one tile (g <= 8), and a tail tile tall enough that no OTHER
+    tile's halo strip overlaps the ghost band (tail >= 8 — see the strip
+    staleness analysis in the round-3 notes)."""
+    if cfg.spmd:
+        return False
+    g = cfg.nghost
+    if g > 8 or chunk < 2 * g:
+        return False
+    nci = -(-rows // chunk)
+    tail = rows - (nci - 1) * chunk
+    # tail >= 3g keeps the hi mirror band AND its source strictly after
+    # the lo band within the last tile's cur block (the nci == 1 case is
+    # then order-independent, matching the sequential lo-then-hi XLA
+    # fill), and tail >= 8 keeps every other tile's halo strips free of
+    # ghost rows (strip staleness analysis, round-3 notes).
+    return tail >= 8 and tail >= 3 * g
+
+
+def inline_bc_y_ok(cfg, shape) -> bool:
+    """step.py-facing: can the PER-SWEEP Y kernel inline the ghost fill?"""
+    from ...parallel.blocking import plan_tiles
+    rows, cols = shape
+    plan = plan_tiles(rows, cols, np.dtype(cfg.dtype).itemsize,
+                      getattr(cfg, "block_size", None))
+    return can_inline_bc_y(cfg, rows, plan.y_chunk_rows)
+
+
+def inline_bc_cycle_ok(cfg, shape) -> bool:
+    """step.py-facing: can the WHOLE-CYCLE kernel inline the Y ghost fill?"""
+    from ...parallel.blocking import cycle_chunk_rows
+    rows, cols = shape
+    chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize,
+                             getattr(cfg, "block_size", None))
+    return can_inline_bc_y(cfg, rows, chunk)
+
+
+def _bc_y_spec(cfg, rows, chunk):
+    """((g, off), lo_factors, hi_factors) for `_halo_cat_bc`, for the
+    fused-tier exchange set (rho, u, v, E). `off` = the hi ghost band's
+    offset within the LAST tile's cur block (trace-time constant)."""
+    from ...utils.enums import Axis, sides_along
+    g = cfg.nghost
+    side_lo, side_hi = sides_along(Axis.Y)
+    u_lo, v_lo = cfg.test.boundary_factors(side_lo)
+    u_hi, v_hi = cfg.test.boundary_factors(side_hi)
+    lo_fs = (1.0, u_lo, v_lo, 1.0)
+    hi_fs = (1.0, u_hi, v_hi, 1.0)
+    nci = -(-rows // chunk)
+    off = (rows - g) - (nci - 1) * chunk
+    return ((g, off), lo_fs, hi_fs)
+
+
 def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None,
                  mask_rows=True, mask_cols=True):
     """Per-tile CFL reduction over real cells (`src/reductions.jl:2-20`),
@@ -508,7 +598,7 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant,
 
 
 def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, emit_p, emit_dt, interp,
-                    variant,
+                    variant, bc_y,
                     dt_ref, lim_ref,
                     rho_c, rho_a, rho_b, u_c, u_a, u_b,
                     v_c, v_a, v_b, E_c, E_a, E_b, *outs):
@@ -522,15 +612,23 @@ def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, emit_p, emit_dt, interp,
     # extra dead rows per side cost ~1.5% extra compute at chunk=256.
     H = halo_blk
 
-    def halo_cat(cur, above, below):
-        # Wrong values at the padded edges land in cells whose results are
-        # never read (outer ghost ring).
-        return jnp.concatenate([above[:], cur, below[:]], 0)
+    if bc_y is None:
+        def halo_cat(cur, above, below, k):
+            # Wrong values at the padded edges land in cells whose results
+            # are never read (outer ghost ring).
+            return jnp.concatenate([above[:], cur, below[:]], 0)
+    else:
+        geom, lo_fs, hi_fs = bc_y
+        nci = pl.num_programs(0)
 
-    rho = halo_cat(rho_c[:], rho_a[:], rho_b[:])
-    u = halo_cat(u_c[:], u_a[:], u_b[:])
-    v = halo_cat(v_c[:], v_a[:], v_b[:])
-    E = halo_cat(E_c[:], E_a[:], E_b[:])
+        def halo_cat(cur, above, below, k):
+            return _halo_cat_bc(above[:], cur, below[:], geom,
+                                lo_fs[k], hi_fs[k], ci, nci)
+
+    rho = halo_cat(rho_c[:], rho_a[:], rho_b[:], 0)
+    u = halo_cat(u_c[:], u_a[:], u_b[:], 1)
+    v = halo_cat(v_c[:], v_a[:], v_b[:], 2)
+    E = halo_cat(E_c[:], E_a[:], E_b[:], 3)
 
     def sh(a, k):
         return jnp.roll(a, -k, 0) if k else a
@@ -603,9 +701,10 @@ def _halo_strips(x, chunk, rows):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "axis", "emit_p",
                                              "emit_dt", "interpret",
-                                             "variant"))
+                                             "variant", "inline_bc"))
 def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
-                   emit_p=True, emit_dt=True, interpret=False, variant=""):
+                   emit_p=True, emit_dt=True, interpret=False, variant="",
+                   inline_bc=False):
     """In-place variant of `fused_sweep`: the four field outputs ALIAS their
     input buffers (`input_output_aliases`), so inside the jitted time loop
     XLA updates the while-loop carry with zero full-array copies (the
@@ -671,8 +770,13 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
         strip = pl.BlockSpec((8, tile_c), lambda i, j: _im(i, j),
                              memory_space=pltpu.VMEM)
 
+        bc_y = None
+        if inline_bc:
+            assert can_inline_bc_y(cfg, rows, chunk)
+            bc_y = _bc_y_spec(cfg, rows, chunk)
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
-                                   8, emit_p, emit_dt, interpret, variant)
+                                   8, emit_p, emit_dt, interpret, variant,
+                                   bc_y)
         smem = pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
                             memory_space=pltpu.SMEM)
         in_specs = [smem,
@@ -780,7 +884,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
                              memory_space=pltpu.VMEM)
 
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
-                                   halo_blk, True, True, interpret, "")
+                                   halo_blk, True, True, interpret, "", None)
         in_specs = [pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((1, 2), lambda i, j: _im(0, 0),
@@ -809,7 +913,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
 
 # ------------------------------------------------- fully-fused cycle kernel
 
-def _cycle_kernel(cfg, chunk, x_first, interp,
+def _cycle_kernel(cfg, chunk, x_first, interp, bc_y,
                   dtx_ref, dty_ref, lim_ref,
                   rho_c, rho_a, rho_b, u_c, u_a, u_b,
                   v_c, v_a, v_b, E_c, E_a, E_b,
@@ -832,13 +936,22 @@ def _cycle_kernel(cfg, chunk, x_first, interp,
 
     halo_blk = 8
 
-    def halo_cat(cur, above, below):
-        return jnp.concatenate([above[halo_blk - H:, :], cur, below[:H, :]], 0)
+    if bc_y is None:
+        def halo_cat(cur, above, below, k):
+            return jnp.concatenate([above[halo_blk - H:, :], cur,
+                                    below[:H, :]], 0)
+    else:
+        geom, lo_fs, hi_fs = bc_y
+        nci = pl.num_programs(0)
 
-    rho = halo_cat(rho_c[:], rho_a[:], rho_b[:])
-    u = halo_cat(u_c[:], u_a[:], u_b[:])
-    v = halo_cat(v_c[:], v_a[:], v_b[:])
-    E = halo_cat(E_c[:], E_a[:], E_b[:])
+        def halo_cat(cur, above, below, k):
+            return _halo_cat_bc(above[halo_blk - H:, :], cur, below[:H, :],
+                                geom, lo_fs[k], hi_fs[k], ci, nci)
+
+    rho = halo_cat(rho_c[:], rho_a[:], rho_b[:], 0)
+    u = halo_cat(u_c[:], u_a[:], u_b[:], 1)
+    v = halo_cat(v_c[:], v_a[:], v_b[:], 2)
+    E = halo_cat(E_c[:], E_a[:], E_b[:], 3)
 
     def shx(a, k):
         # static shifts: see _x_sweep_kernel.sh
@@ -892,9 +1005,10 @@ def _cycle_kernel(cfg, chunk, x_first, interp,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "x_first",
-                                             "in_place", "interpret"))
+                                             "in_place", "interpret",
+                                             "inline_bc"))
 def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
-                in_place=False, interpret=False):
+                in_place=False, interpret=False, inline_bc=False):
     """One full cycle (two sweeps) in a single fused kernel pass — the
     MESH-path kernel (one halo-exchange round per cycle). BOTH ghost bands
     of rho/u/v/E must be pre-filled from the pre-cycle state.
@@ -950,7 +1064,12 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
             in_specs += [cur, above, below]
             args += [a, a, a]
 
-    kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first, interpret)
+    bc_y = None
+    if inline_bc:
+        assert in_place and can_inline_bc_y(cfg, rows, chunk)
+        bc_y = _bc_y_spec(cfg, rows, chunk)
+    kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first, interpret,
+                               bc_y)
     out = pl.pallas_call(
         kernel,
         grid=grid,

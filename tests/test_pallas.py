@@ -130,6 +130,34 @@ def test_pallas_sharded_matches_single(P):
         assert (np.abs(a - b) <= tol).all(), f"{var} differs on mesh {P}"
 
 
+def test_inline_bc_multi_tile():
+    """The in-kernel Y ghost fill with MULTIPLE row chunks (rows > 264
+    forces a multi-tile plan): first/last-tile mirror fills plus the
+    tail-tile offset must reproduce the jnp tier exactly."""
+    from armon_tpu.core.solver import make_jit_loop
+    from armon_tpu.ops.pallas.sweep import inline_bc_y_ok
+    kw = dict(N=(64, 300), maxcycle=6)
+    params = reference_params("Sod_circ", np.float64, kernel_tier="pallas",
+                              **kw)
+    assert inline_bc_y_ok(params.config, params.config.local_shape)
+
+    def run(p):
+        state = make_init(p)()
+        loop = make_jit_loop(p)
+        state, t, cycles, dt, lm, ok = loop(state)
+        assert bool(ok)
+        return gather_state(p, state), float(dt)
+
+    h1, d1 = run(reference_params("Sod_circ", np.float64, **kw))
+    h2, d2 = run(params)
+    assert abs(d1 - d2) <= 4e-16 * abs(d1)
+    g = 4
+    for var in ("rho", "u", "v", "E"):
+        a = getattr(h1, var)[g:-g, g:-g]
+        b = getattr(h2, var)[g:-g, g:-g]
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-14), var
+
+
 @pytest.mark.parametrize("N", [(64, 52), (100, 101), (48, 44)],
                          ids=lambda n: f"{n[0]}x{n[1]}")
 def test_pallas_ragged_heights(N):
