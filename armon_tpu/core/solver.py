@@ -458,7 +458,8 @@ def measure_sections(params, state, reps=3):
             ex = build(lambda s, a=axis: (ghost_exchange(
                 cfg, s, a, FUSED_EXCHANGE_VARS), jnp.zeros(())), 1)
             sections[f"ghost_exchange_{axis.name}"] = timeit(ex, state)
-            sw = build(lambda s, d, a=axis: fused_sweep_step(cfg, s, a, d), 2)
+            sw = build(lambda s, d, a=axis: fused_sweep_step(cfg, s, a, d)[:2],
+                       2)
             sections[f"sweep_{axis.name}"] = timeit(sw, state, dt)
     else:
         fns = _make_step_fns(params)

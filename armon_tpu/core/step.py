@@ -119,26 +119,37 @@ def _shard_n_real(cfg):
     return None
 
 
-def fused_sweep_step(cfg, state, axis: Axis, dt, last=True):
+def fused_sweep_step(cfg, state, axis: Axis, dt, last=True,
+                     emit_strips=False, strips=None):
     """One sweep through the fused Pallas kernel. Only (rho,u,v,E) ghosts are
     exchanged — p/c ghosts are recomputed in-kernel by the EOS (which
-    commutes bitwise with the mirror/halo copy). Returns (state, local_min)
-    where local_min is this shard's CFL minimum of the post-sweep state.
+    commutes bitwise with the mirror/halo copy). Returns
+    (state, local_min, strips_out) where local_min is this shard's CFL
+    minimum of the post-sweep state.
     `last=False` (not the cycle's final sweep) skips the p stream and the
     CFL reduction — neither is observable mid-cycle.
     Single-device Y sweeps inline the mirror ghost fill in-kernel
-    (bitwise identical, saves the 8 slab-write launches)."""
+    (bitwise identical, saves the 8 slab-write launches); an X sweep with
+    `emit_strips` additionally emits the following Y sweep's halo side
+    strips (consumed via `strips`), skipping the XLA strip assembly."""
     from ..ops.pallas.sweep import fused_sweep_ip, inline_bc_y_ok
     inline = axis is Axis.Y and inline_bc_y_ok(cfg, state.rho.shape)
     if not inline:
         state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
-    rho, u, v, E, p_stale, local_min = fused_sweep_ip(
+    out = fused_sweep_ip(
         cfg, axis, state.rho, state.u, state.v, state.E, dt,
         n_real=_shard_n_real(cfg), emit_p=last, emit_dt=last,
-        interpret=_pallas_interpret(cfg), inline_bc=inline)
+        interpret=_pallas_interpret(cfg), inline_bc=inline,
+        emit_strips=emit_strips, strips=strips)
+    if emit_strips:
+        rho, u, v, E, p_stale, local_min, strips_out = out
+    else:
+        rho, u, v, E, p_stale, local_min = out
+        strips_out = None
     if p_stale is None:
-        return state._replace(rho=rho, u=u, v=v, E=E), local_min
-    return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
+        return state._replace(rho=rho, u=u, v=v, E=E), local_min, strips_out
+    return (state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min,
+            strips_out)
 
 
 def fused_cycle_step(cfg, state, pair, dt):
@@ -165,6 +176,7 @@ def fused_cycle_step(cfg, state, pair, dt):
 
 
 def run_schedule_fused(cfg, state, schedule, dt):
+    from ..ops.pallas.sweep import strip_emission_plan
     T = np.dtype(cfg.dtype).type
     local_min = None
     i = 0
@@ -181,6 +193,9 @@ def run_schedule_fused(cfg, state, schedule, dt):
     else:
         pair_cycles = cfg.spmd or (cfg.pair_threshold > 0
                                    and max(cfg.n_local) <= cfg.pair_threshold)
+    can_emit = (not pair_cycles
+                and strip_emission_plan(cfg, cfg.local_shape) is not None)
+    strips = None
     while i < len(schedule):
         if (pair_cycles and i + 1 < len(schedule)
                 and {schedule[i][0], schedule[i + 1][0]} == {Axis.X, Axis.Y}):
@@ -189,9 +204,14 @@ def run_schedule_fused(cfg, state, schedule, dt):
             i += 2
         else:
             axis, factor = schedule[i]
-            state, local_min = fused_sweep_step(cfg, state, axis,
-                                                dt * T(factor),
-                                                last=(i == len(schedule) - 1))
+            # An X sweep immediately followed by a Y sweep emits the Y
+            # sweep's halo strips from its own output rows.
+            emit = (can_emit and axis is Axis.X and i + 1 < len(schedule)
+                    and schedule[i + 1][0] is Axis.Y)
+            state, local_min, strips = fused_sweep_step(
+                cfg, state, axis, dt * T(factor),
+                last=(i == len(schedule) - 1),
+                emit_strips=emit, strips=strips)
             i += 1
     return state, local_min
 

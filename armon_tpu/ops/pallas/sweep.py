@@ -460,6 +460,38 @@ def can_inline_bc_y(cfg, rows, chunk) -> bool:
     return tail >= 8 and tail >= 3 * g
 
 
+def strip_emission_plan(cfg, shape):
+    """Geometry for the X sweep emitting the Y sweep's halo strips
+    (single-device per-sweep path). Returns (tile_r, chunk, nci, nci_x)
+    or None when the tile shapes don't line up:
+    - every chunk boundary must fall on an X-tile boundary
+      (chunk % tile_r == 0, rows % tile_r == 0), with >= 2 tiles per
+      chunk and 8-row strips within one tile (tile_r >= 8);
+    - rows % chunk == tile_r would need two strip writes in one grid step
+      (the mid and clamped-last below blocks coincide) — excluded."""
+    if cfg.spmd:
+        return None
+    from ...parallel.blocking import plan_tiles
+    rows, cols = shape
+    plan = plan_tiles(rows, cols, np.dtype(cfg.dtype).itemsize,
+                      getattr(cfg, "block_size", None))
+    tile_r, chunk = plan.x_tile_rows, plan.y_chunk_rows
+    if (tile_r < 8 or rows % tile_r or chunk % tile_r
+            or chunk < 2 * tile_r or rows % chunk == tile_r):
+        return None
+    nci = -(-rows // chunk)
+    if nci < 2:
+        return None
+    # Strips are extracted from the X kernel's outputs, i.e. BEFORE the Y
+    # ghost fill: no real cell may read a strip row inside the ghost band,
+    # which requires the tail tile to keep the band away from the last
+    # interior chunk boundary (same analysis as can_inline_bc_y).
+    tail = rows - (nci - 1) * chunk
+    if tail < max(8, cfg.nghost + 4):
+        return None
+    return (tile_r, chunk, nci, rows // tile_r)
+
+
 def inline_bc_y_ok(cfg, shape) -> bool:
     """step.py-facing: can the PER-SWEEP Y kernel inline the ghost fill?"""
     from ...parallel.blocking import plan_tiles
@@ -548,7 +580,7 @@ def _dt_from_tiles(cfg, dt_tiles):
     return jnp.minimum(T(cfg.dx) / mx, T(cfg.dy) / my)
 
 
-def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant,
+def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
                     dt_ref, lim_ref,
                     rho_ref, u_ref, v_ref, E_ref, *outs):
     T = np.dtype(cfg.dtype).type
@@ -572,6 +604,47 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant,
     outs[0][:], outs[1][:], outs[2][:], outs[3][:] = rho2, u2, v2, E2
     if emit_p:
         outs[4][:] = p_st
+
+    if strips is not None:
+        # Emit the NEXT (Y) sweep's halo side strips straight from this
+        # kernel's output rows — the values are identical to what
+        # `_halo_strips` would extract from the post-X-sweep array, but
+        # the separate XLA assembly round (strip HBM traffic + its kernel
+        # launches) disappears. Strip blocks are revisited output blocks:
+        # each is written exactly once during its (consecutive) residency
+        # window — see the index maps in `fused_sweep_ip`.
+        chunk, nci, nci_x = strips
+        base = 4 + (1 if emit_p else 0)
+        fields2 = (rho2, u2, v2, E2)
+        # above[k] = rows [k*chunk-8, k*chunk) (k>=1; k=0 is the clamped
+        # placeholder rows [0,8)) — written by the tile ending on the
+        # chunk boundary (local rows [tile_r-8, tile_r)), or tile 0.
+        boundary = ((i + 1) * tile_r % chunk == 0) \
+            & ((i + 1) * tile_r <= (nci - 1) * chunk)
+
+        @pl.when((i == 0) | boundary)
+        def _():
+            for k, f2 in enumerate(fields2):
+                rows8 = f2[tile_r - 8:] if tile_r > 8 else f2
+                if tile_r > 8:
+                    rows8 = jnp.where(i == 0, f2[0:8], rows8)
+                outs[base + k][:] = rows8
+
+        # below[k] = rows [(k+1)*chunk, +8) (k <= nci-2; local rows [0,8)
+        # of the tile starting on the boundary), plus the clamped last
+        # block rows [rows-8, rows) from the final tile.
+        start_boundary = (i > 0) & (i * tile_r % chunk == 0) \
+            & (i * tile_r <= (nci - 1) * chunk)
+
+        @pl.when(start_boundary)
+        def _():
+            for k, f2 in enumerate(fields2):
+                outs[base + 4 + k][:] = f2[0:8] if tile_r > 8 else f2
+
+        @pl.when(i == nci_x - 1)
+        def _():
+            for k, f2 in enumerate(fields2):
+                outs[base + 4 + k][:] = f2[tile_r - 8:] if tile_r > 8 else f2
 
     if emit_dt:
         # Max-accumulate into a revisited (8, 128) VMEM block: the TPU grid
@@ -701,10 +774,11 @@ def _halo_strips(x, chunk, rows):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "axis", "emit_p",
                                              "emit_dt", "interpret",
-                                             "variant", "inline_bc"))
+                                             "variant", "inline_bc",
+                                             "emit_strips"))
 def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
                    emit_p=True, emit_dt=True, interpret=False, variant="",
-                   inline_bc=False):
+                   inline_bc=False, emit_strips=False, strips=None):
     """In-place variant of `fused_sweep`: the four field outputs ALIAS their
     input buffers (`input_output_aliases`), so inside the jitted time loop
     XLA updates the while-loop carry with zero full-array copies (the
@@ -721,8 +795,16 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
     reduction — only the cycle's LAST sweep needs them (observable p, dt
     carry); earlier sweeps skip an output stream and the reduction math.
 
+    `emit_strips` (X only): additionally emit the NEXT Y sweep's halo side
+    strips straight from the kernel's output rows (identical values, no
+    separate XLA assembly round) — requires `strip_emission_plan` to be
+    non-None for this shape. `strips` (Y only): an ((above x4), (below x4))
+    tuple from a preceding emit_strips X sweep, used instead of the
+    `_halo_strips` assembly.
+
     Ghost bands along `axis` must be pre-filled (mirror BC / halo
-    exchange). Returns (rho, u, v, E, p_stale|None, local_dt_min|None)."""
+    exchange). Returns (rho, u, v, E, p_stale|None, local_dt_min|None)
+    plus, under emit_strips, a trailing ((above x4), (below x4)) tuple."""
     rows, cols = rho.shape
     dt_arr = jnp.asarray(dt, cfg.dtype).reshape(1, 1)
     if n_real is None:
@@ -744,8 +826,31 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
         grid = (pl.cdiv(rows, tile_r),)
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
+        strips_geom = None
+        strip_specs, strip_shapes = [], []
+        if emit_strips:
+            se = strip_emission_plan(cfg, (rows, cols))
+            assert se is not None and se[0] == tile_r
+            _, chunk_y, nci_y, nci_x = se
+            strips_geom = (chunk_y, nci_y, nci_x)
+
+            def above_map(i):
+                return _im(jnp.minimum(((i + 1) * tile_r + 7) // chunk_y,
+                                       nci_y - 1), 0)
+
+            def below_map(i):
+                return _im(jnp.minimum(jnp.maximum(i * tile_r - 1, 0)
+                                       // chunk_y, nci_y - 1), 0)
+
+            strip_shape = jax.ShapeDtypeStruct((nci_y * 8, cols), cfg.dtype)
+            strip_specs = ([pl.BlockSpec((8, cols), above_map,
+                                         memory_space=pltpu.VMEM)] * 4
+                           + [pl.BlockSpec((8, cols), below_map,
+                                           memory_space=pltpu.VMEM)] * 4)
+            strip_shapes = [strip_shape] * 8
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
-                                   emit_p, emit_dt, interpret, variant)
+                                   emit_p, emit_dt, interpret, variant,
+                                   strips_geom)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -753,12 +858,22 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
                                    memory_space=pltpu.SMEM),
                       pl.BlockSpec((1, 2), lambda i: _im(0, 0),
                                    memory_space=pltpu.SMEM)] + [field_spec] * 4,
-            out_specs=[field_spec] * n_out + ([dtmin_spec] if emit_dt else []),
-            out_shape=[out_field()] * n_out + ([dtmin_shape] if emit_dt else []),
+            out_specs=[field_spec] * n_out + strip_specs
+            + ([dtmin_spec] if emit_dt else []),
+            out_shape=[out_field()] * n_out + strip_shapes
+            + ([dtmin_shape] if emit_dt else []),
             input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
             compiler_params=cparams,
             interpret=interpret,
         )(dt_arr, lim_arr, rho, u, v, E)
+        if emit_strips:
+            base = n_out
+            strips_out = (tuple(out[base:base + 4]),
+                          tuple(out[base + 4:base + 8]))
+            rho2, u2, v2, E2 = out[:4]
+            p_st = out[4] if emit_p else None
+            local_min = _dt_from_tiles(cfg, out[-1]) if emit_dt else None
+            return rho2, u2, v2, E2, p_st, local_min, strips_out
     else:
         chunk = plan.y_chunk_rows
         tile_c = plan.y_tile_cols
@@ -791,7 +906,10 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
         # makes XLA insert protective full-array copies: measured 9.4 ->
         # 16.0 ms/Y-sweep at 8192². Both halo sides must come from strips.
         for k, a in enumerate((rho, u, v, E)):
-            above, below = _halo_strips(a, chunk, rows)
+            if strips is not None:
+                above, below = strips[0][k], strips[1][k]
+            else:
+                above, below = _halo_strips(a, chunk, rows)
             aliases[2 + 3 * k] = k
             in_specs += [cur, strip, strip]
             args += [a, above, below]
@@ -840,7 +958,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
-                                   True, True, interpret, "")
+                                   True, True, interpret, "", None)
         dtmin_spec = pl.BlockSpec((8, 128), lambda i: _im(0, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(

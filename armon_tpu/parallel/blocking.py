@@ -46,16 +46,17 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     # X sweep: full-width row tiles; rows are independent so any multiple of
     # the 8-sublane tiling works (ragged tails are padded/masked by Pallas).
     # Measured on v5e: throughput is flat in tile_r (DMA-ceiling bound), so
-    # prefer a divisor of `rows`, falling back to ragged 32-row tiles —
-    # never the whole array (VMEM blowup at production widths).
+    # prefer 8 whenever it divides `rows` — 8 also divides every Y chunk
+    # (always a multiple of 8), which is what lets the X kernel emit the Y
+    # sweep's halo strips (ops/pallas/sweep.py:strip_emission_plan).
+    # Fall back to ragged 32-row tiles — never the whole array (VMEM
+    # blowup at production widths).
     if rows <= 256:
         x_tile = _round_up(rows, 8)
+    elif rows % 8 == 0:
+        x_tile = 8
     else:
         x_tile = 32
-        while (rows % x_tile) and x_tile > 8:
-            x_tile //= 2
-        if rows % x_tile:
-            x_tile = 32
 
     # Y sweep: (chunk + 2*halo) x tile_c buffers, LIVE_BUFFERS of them.
     # Chunk height is a measured sweet spot, not a pure cost model: the

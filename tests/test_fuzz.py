@@ -108,8 +108,8 @@ def test_pair_cycle_matches_per_sweep(seed):
     )
     dt = np.float64(1e-4)
 
-    s1, _ = fused_sweep_step(cfg, state, Axis.X, dt, last=False)
-    s1, lm1 = fused_sweep_step(cfg, s1, Axis.Y, dt, last=True)
+    s1, _, _ = fused_sweep_step(cfg, state, Axis.X, dt, last=False)
+    s1, lm1, _ = fused_sweep_step(cfg, s1, Axis.Y, dt, last=True)
 
     pair = ((Axis.X, 1.0), (Axis.Y, 1.0))
     s2, lm2 = fused_cycle_step(cfg, state, pair, dt)

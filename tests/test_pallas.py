@@ -158,6 +158,34 @@ def test_inline_bc_multi_tile():
         assert np.allclose(a, b, rtol=1e-12, atol=1e-14), var
 
 
+def test_strip_emission_per_sweep():
+    """X-emitted Y halo strips (per-sweep path, multi-chunk): forcing the
+    per-sweep kernels on a tall grid must match the jnp tier."""
+    from armon_tpu.core.solver import make_jit_loop
+    from armon_tpu.ops.pallas.sweep import strip_emission_plan
+    kw = dict(N=(64, 392), maxcycle=6)
+    params = reference_params("Sod_circ", np.float64, kernel_tier="pallas",
+                              pair_threshold=0, **kw)
+    assert strip_emission_plan(params.config,
+                               params.config.local_shape) is not None
+
+    def run(p):
+        state = make_init(p)()
+        loop = make_jit_loop(p)
+        state, t, cycles, dt, lm, ok = loop(state)
+        assert bool(ok)
+        return gather_state(p, state), float(dt)
+
+    h1, d1 = run(reference_params("Sod_circ", np.float64, **kw))
+    h2, d2 = run(params)
+    assert abs(d1 - d2) <= 4e-16 * abs(d1)
+    g = 4
+    for var in ("rho", "u", "v", "E"):
+        a = getattr(h1, var)[g:-g, g:-g]
+        b = getattr(h2, var)[g:-g, g:-g]
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-14), var
+
+
 @pytest.mark.parametrize("N", [(64, 52), (100, 101), (48, 44)],
                          ids=lambda n: f"{n[0]}x{n[1]}")
 def test_pallas_ragged_heights(N):
