@@ -477,7 +477,7 @@ def strip_emission_plan(cfg, shape):
                       getattr(cfg, "block_size", None))
     tile_r, chunk = plan.x_tile_rows, plan.y_chunk_rows
     if (tile_r < 8 or rows % tile_r or chunk % tile_r
-            or chunk < 2 * tile_r or rows % chunk == tile_r):
+            or chunk < 2 * tile_r):
         return None
     nci = -(-rows // chunk)
     if nci < 2:
@@ -485,9 +485,11 @@ def strip_emission_plan(cfg, shape):
     # Strips are extracted from the X kernel's outputs, i.e. BEFORE the Y
     # ghost fill: no real cell may read a strip row inside the ghost band,
     # which requires the tail tile to keep the band away from the last
-    # interior chunk boundary (same analysis as can_inline_bc_y).
+    # interior chunk boundary (same analysis as can_inline_bc_y). And
+    # tail <= tile_r would put a mid below-strip write and the clamped
+    # last-block write on the same grid step (one index-map value).
     tail = rows - (nci - 1) * chunk
-    if tail < max(8, cfg.nghost + 4):
+    if tail < max(8, cfg.nghost + 4) or tail <= tile_r:
         return None
     return (tile_r, chunk, nci, rows // tile_r)
 
@@ -581,11 +583,17 @@ def _dt_from_tiles(cfg, dt_tiles):
 
 
 def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
-                    dt_ref, lim_ref,
-                    rho_ref, u_ref, v_ref, E_ref, *outs):
+                    dt_ref, lim_ref, *refs):
     T = np.dtype(cfg.dtype).type
     dt = dt_ref[0, 0]
     i = pl.program_id(0)
+    if strips:
+        flags_ref = refs[0]
+        rho_ref, u_ref, v_ref, E_ref = refs[1:5]
+        outs = refs[5:]
+    else:
+        rho_ref, u_ref, v_ref, E_ref = refs[0:4]
+        outs = refs[4:]
 
     def sh(a, k):
         # STATIC shift: jnp.roll with a trace-time-constant shift lowers to
@@ -605,43 +613,40 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
     if emit_p:
         outs[4][:] = p_st
 
-    if strips is not None:
+    if strips:
         # Emit the NEXT (Y) sweep's halo side strips straight from this
         # kernel's output rows — the values are identical to what
         # `_halo_strips` would extract from the post-X-sweep array, but
         # the separate XLA assembly round (strip HBM traffic + its kernel
         # launches) disappears. Strip blocks are revisited output blocks:
         # each is written exactly once during its (consecutive) residency
-        # window — see the index maps in `fused_sweep_ip`.
-        chunk, nci, nci_x = strips
+        # window — see the index maps in `fused_sweep_ip`. The write
+        # conditions are PRECOMPUTED per-tile flags read from SMEM (the
+        # in-kernel modulo arithmetic they replace sent Mosaic's scalar
+        # lowering into unbounded convert_element_type recursion).
         base = 4 + (1 if emit_p else 0)
         fields2 = (rho2, u2, v2, E2)
+
         # above[k] = rows [k*chunk-8, k*chunk) (k>=1; k=0 is the clamped
         # placeholder rows [0,8)) — written by the tile ending on the
         # chunk boundary (local rows [tile_r-8, tile_r)), or tile 0.
-        boundary = ((i + 1) * tile_r % chunk == 0) \
-            & ((i + 1) * tile_r <= (nci - 1) * chunk)
-
-        @pl.when((i == 0) | boundary)
+        @pl.when(flags_ref[0, 0] != 0)
         def _():
             for k, f2 in enumerate(fields2):
                 rows8 = f2[tile_r - 8:] if tile_r > 8 else f2
                 if tile_r > 8:
-                    rows8 = jnp.where(i == 0, f2[0:8], rows8)
+                    rows8 = jnp.where(flags_ref[0, 0] == 2, f2[0:8], rows8)
                 outs[base + k][:] = rows8
 
         # below[k] = rows [(k+1)*chunk, +8) (k <= nci-2; local rows [0,8)
         # of the tile starting on the boundary), plus the clamped last
-        # block rows [rows-8, rows) from the final tile.
-        start_boundary = (i > 0) & (i * tile_r % chunk == 0) \
-            & (i * tile_r <= (nci - 1) * chunk)
-
-        @pl.when(start_boundary)
+        # block rows [rows-8, rows) from the final tile (flag 2).
+        @pl.when(flags_ref[0, 1] == 1)
         def _():
             for k, f2 in enumerate(fields2):
                 outs[base + 4 + k][:] = f2[0:8] if tile_r > 8 else f2
 
-        @pl.when(i == nci_x - 1)
+        @pl.when(flags_ref[0, 1] == 2)
         def _():
             for k, f2 in enumerate(fields2):
                 outs[base + 4 + k][:] = f2[tile_r - 8:] if tile_r > 8 else f2
@@ -826,13 +831,29 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
         grid = (pl.cdiv(rows, tile_r),)
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
-        strips_geom = None
         strip_specs, strip_shapes = [], []
+        extra_in_specs, extra_args = [], []
+        aliases = {2: 0, 3: 1, 4: 2, 5: 3}
         if emit_strips:
             se = strip_emission_plan(cfg, (rows, cols))
             assert se is not None and se[0] == tile_r
             _, chunk_y, nci_y, nci_x = se
-            strips_geom = (chunk_y, nci_y, nci_x)
+
+            # Per-tile write flags, PRECOMPUTED (all geometry is static):
+            # col 0 — above-strip write (1 = chunk-boundary tile, 2 = the
+            # first tile's clamped placeholder); col 1 — below-strip write
+            # (1 = boundary tile, 2 = the last tile's clamped block).
+            flags = np.zeros((nci_x, 2), np.int32)
+            flags[0, 0] = 2
+            for k in range(1, nci_y):
+                flags[(k * chunk_y - 8) // tile_r, 0] = 1
+            for k in range(nci_y - 1):
+                flags[(k + 1) * chunk_y // tile_r, 1] = 1
+            flags[nci_x - 1, 1] = 2
+            extra_in_specs = [pl.BlockSpec((1, 2), lambda i: _im(i, 0),
+                                           memory_space=pltpu.SMEM)]
+            extra_args = [jnp.asarray(flags)]
+            aliases = {3: 0, 4: 1, 5: 2, 6: 3}
 
             def above_map(i):
                 return _im(jnp.minimum(((i + 1) * tile_r + 7) // chunk_y,
@@ -850,22 +871,23 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
             strip_shapes = [strip_shape] * 8
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
                                    emit_p, emit_dt, interpret, variant,
-                                   strips_geom)
+                                   emit_strips)
         out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec((1, 1), lambda i: _im(0, 0),
                                    memory_space=pltpu.SMEM),
                       pl.BlockSpec((1, 2), lambda i: _im(0, 0),
-                                   memory_space=pltpu.SMEM)] + [field_spec] * 4,
+                                   memory_space=pltpu.SMEM)]
+            + extra_in_specs + [field_spec] * 4,
             out_specs=[field_spec] * n_out + strip_specs
             + ([dtmin_spec] if emit_dt else []),
             out_shape=[out_field()] * n_out + strip_shapes
             + ([dtmin_shape] if emit_dt else []),
-            input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+            input_output_aliases=aliases,
             compiler_params=cparams,
             interpret=interpret,
-        )(dt_arr, lim_arr, rho, u, v, E)
+        )(dt_arr, lim_arr, *extra_args, rho, u, v, E)
         if emit_strips:
             base = n_out
             strips_out = (tuple(out[base:base + 4]),
