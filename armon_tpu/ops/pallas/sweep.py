@@ -630,23 +630,23 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
         # above[k] = rows [k*chunk-8, k*chunk) (k>=1; k=0 is the clamped
         # placeholder rows [0,8)) — written by the tile ending on the
         # chunk boundary (local rows [tile_r-8, tile_r)), or tile 0.
-        @pl.when(flags_ref[0, 0] != 0)
+        @pl.when(flags_ref[i, 0] != 0)
         def _():
             for k, f2 in enumerate(fields2):
                 rows8 = f2[tile_r - 8:] if tile_r > 8 else f2
                 if tile_r > 8:
-                    rows8 = jnp.where(flags_ref[0, 0] == 2, f2[0:8], rows8)
+                    rows8 = jnp.where(flags_ref[i, 0] == 2, f2[0:8], rows8)
                 outs[base + k][:] = rows8
 
         # below[k] = rows [(k+1)*chunk, +8) (k <= nci-2; local rows [0,8)
         # of the tile starting on the boundary), plus the clamped last
         # block rows [rows-8, rows) from the final tile (flag 2).
-        @pl.when(flags_ref[0, 1] == 1)
+        @pl.when(flags_ref[i, 1] == 1)
         def _():
             for k, f2 in enumerate(fields2):
                 outs[base + 4 + k][:] = f2[0:8] if tile_r > 8 else f2
 
-        @pl.when(flags_ref[0, 1] == 2)
+        @pl.when(flags_ref[i, 1] == 2)
         def _():
             for k, f2 in enumerate(fields2):
                 outs[base + 4 + k][:] = f2[tile_r - 8:] if tile_r > 8 else f2
@@ -850,7 +850,10 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
             for k in range(nci_y - 1):
                 flags[(k + 1) * chunk_y // tile_r, 1] = 1
             flags[nci_x - 1, 1] = 2
-            extra_in_specs = [pl.BlockSpec((1, 2), lambda i: _im(i, 0),
+            # one whole-array SMEM block (per-tile blocks violate the
+            # Mosaic block-shape divisibility rule); the kernel indexes it
+            # with the program id
+            extra_in_specs = [pl.BlockSpec((nci_x, 2), lambda i: _im(0, 0),
                                            memory_space=pltpu.SMEM)]
             extra_args = [jnp.asarray(flags)]
             aliases = {3: 0, 4: 1, 5: 2, 6: 3}
