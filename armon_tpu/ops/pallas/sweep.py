@@ -121,13 +121,18 @@ def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True):
         q = T(-42080895.0 / 14941154.0); r = T(727668333.0 / 149411540.0)
         x = rho / rho0 - 1
         G = G0 * (1 - div(rho0, rho))
-        f0 = div(1 + (s / 3 - 2) * x + q * x ** 2 + r * x ** 3, 1 - s * x)
-        f1 = div(s / 3 - 2 + 2 * q * x + 3 * r * x ** 2 + s * f0, 1 - s * x)
+        # f0, f1 and the pk0prime inner term all divide by the SAME
+        # (1 - s*x): share the (Newton-refined) reciprocal — bitwise
+        # identical in both div modes (_div_shared), 2 fewer reciprocal
+        # chains per cell on the stiff-EOS path.
+        over_sx = _div_shared(div, 1 - s * x)
+        f0 = over_sx(1 + (s / 3 - 2) * x + q * x ** 2 + r * x ** 3)
+        f1 = over_sx(s / 3 - 2 + 2 * q * x + 3 * r * x ** 2 + s * f0)
         epsk0 = eps0 - Cv0 * T0 * (1 + G) + 0.5 * (K0 / rho0) * x ** 2 * f0
         pk0 = -Cv0 * T0 * G0 * rho0 + 0.5 * K0 * x * (1 + x) ** 2 * (2 * f0 + x * f1)
         pk0prime = -0.5 * K0 * (1 + x) ** 3 * rho0 * (
             2 * (1 + 3 * x) * f0 + 2 * x * (2 + 3 * x) * f1
-            + x ** 2 * (1 + x) * div(2 * q + 6 * r * x + 2 * s * f1, 1 - s * x))
+            + x ** 2 * (1 + x) * over_sx(2 * q + 6 * r * x + 2 * s * f1))
         e = E - 0.5 * (u ** 2 + v ** 2)
         p = pk0 + G0 * rho0 * (e - epsk0)
         sq = jnp.sqrt(G0 * rho0 * (p - pk0) - pk0prime)
@@ -858,13 +863,22 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
             extra_args = [jnp.asarray(flags)]
             aliases = {3: 0, 4: 1, 5: 2, 6: 3}
 
+            # All-int32 map arithmetic: under jax_enable_x64 the traced
+            # grid index is i64 and Mosaic's scalar lowering recurses
+            # without bound on the converts — cast first, use concrete
+            # i32 constants so nothing promotes back.
             def above_map(i):
-                return _im(jnp.minimum(((i + 1) * tile_r + 7) // chunk_y,
-                                       nci_y - 1), 0)
+                ii = jnp.asarray(i, jnp.int32)
+                v = (ii + np.int32(1)) * np.int32(tile_r) + np.int32(7)
+                return (jnp.minimum(v // np.int32(chunk_y),
+                                    np.int32(nci_y - 1)), np.int32(0))
 
             def below_map(i):
-                return _im(jnp.minimum(jnp.maximum(i * tile_r - 1, 0)
-                                       // chunk_y, nci_y - 1), 0)
+                ii = jnp.asarray(i, jnp.int32)
+                v = jnp.maximum(ii * np.int32(tile_r) - np.int32(1),
+                                np.int32(0))
+                return (jnp.minimum(v // np.int32(chunk_y),
+                                    np.int32(nci_y - 1)), np.int32(0))
 
             strip_shape = jax.ShapeDtypeStruct((nci_y * 8, cols), cfg.dtype)
             strip_specs = ([pl.BlockSpec((8, cols), above_map,
