@@ -95,8 +95,9 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
         tile_c = max(128, min((budget // per_lane // 128) * 128, 256))
         tile_c = min(tile_c, _round_up(cols, 128))
     if block_size is not None:
-        bx = max(128, _round_up(min(block_size[0], cols), 128))
-        tile_c = min(tile_c, bx)
+        # authoritative like the chunk height (perf sweeps probe above
+        # the auto choice too)
+        tile_c = max(128, _round_up(min(block_size[0], cols), 128))
 
     return TilePlan(x_tile_rows=x_tile, y_chunk_rows=chunk, y_tile_cols=tile_c)
 

@@ -124,7 +124,7 @@ def main():
     check("16384x4096 strip physical + conservative",
           bool(np.isfinite(rho).all() and rho.min() > 0 and dm < 1e-7),
           f"rho in ({rho.min():.3f}, {rho.max():.3f}), |dM|/M={dm:.2e}")
-    v, el, ran = bench.bench(n=16384, ny=4096, dtype=np.float32, cycles=25)
+    v, el, ran = bench.bench(n=16384, ny=4096, dtype=np.float32, cycles=100)
     check("16384-extent throughput", v > 3e9, f"{v:.3e} cells/s")
 
     print()
