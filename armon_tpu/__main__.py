@@ -18,15 +18,19 @@ from .core.solver import armon
 
 
 def _parse(value: str):
-    if "," in value:
-        return tuple(_parse(v) for v in value.split(","))
     low = value.lower()
     if low in ("true", "false"):
         return low == "true"
     try:
-        return ast.literal_eval(value)
+        # handles numbers and tuples in any spelling: 100, 1e-4, 50,50,
+        # (50,50), [50,50]
+        v = ast.literal_eval(value)
+        return tuple(v) if isinstance(v, list) else v
     except (ValueError, SyntaxError):
-        return value
+        pass
+    if "," in value:
+        return tuple(_parse(v) for v in value.strip("()[]").split(","))
+    return value
 
 
 def main(argv=None):

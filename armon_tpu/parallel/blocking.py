@@ -13,6 +13,8 @@ provides the exact byte accounting that `memory_required` exposes
 (`src/blocking/block_grid.jl:598-709`).
 """
 
+import os
+
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -54,7 +56,7 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     if rows <= 256:
         x_tile = _round_up(rows, 8)
     elif rows % 8 == 0:
-        x_tile = 8
+        x_tile = int(os.environ.get("ARMON_XTILE", "8"))
     else:
         x_tile = 32
 

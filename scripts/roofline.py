@@ -6,6 +6,17 @@ point is the scheme's compute floor (or a map of what overhead remains):
 "a measured ops/cell count x the chip's ALU rate ... itemized against the
 observed, with the unexplained residual <5%".
 
+INTERPRETATION (round-3 conclusion, see BENCH_NOTES): the per-class
+chain rates below are VMEM-BANDWIDTH-bound (each chain op costs ~3
+VMEM touches = ~12 B at the ~10-12 TB/s VMEM rate → the ~0.8 Tops/s
+plateau), not ALU-issue-bound. The fused sweep DAG runs its ~200
+materialized ops/cell at ~2.2 effective Tops/s because Mosaic keeps
+producer-consumer chains in vregs; the honest floor model is therefore
+max(HBM streaming, materialized-intermediate VMEM traffic), with the
+HBM accounting in BENCH_NOTES. The naive census x chain-rate sum (the
+`floor` mode) OVERESTIMATES the sweep floor ~2-3x — kept only to
+document that gap.
+
 Two parts:
 
 A. **Op census** (any backend): trace `_sweep_math` for the bench scheme
