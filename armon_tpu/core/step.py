@@ -128,12 +128,18 @@ def fused_sweep_step(cfg, state, axis: Axis, dt, last=True,
     minimum of the post-sweep state.
     `last=False` (not the cycle's final sweep) skips the p stream and the
     CFL reduction — neither is observable mid-cycle.
-    Single-device Y sweeps inline the mirror ghost fill in-kernel
-    (bitwise identical, saves the 8 slab-write launches); an X sweep with
-    `emit_strips` additionally emits the following Y sweep's halo side
-    strips (consumed via `strips`), skipping the XLA strip assembly."""
-    from ..ops.pallas.sweep import fused_sweep_ip, inline_bc_y_ok
-    inline = axis is Axis.Y and inline_bc_y_ok(cfg, state.rho.shape)
+    Single-device sweeps inline the mirror ghost fill in-kernel — Y via
+    the halo-concat row splice, X via the lane mirror (`_bc_x_apply`) —
+    bitwise identical, saving the 8 slab-write launches per sweep; an X
+    sweep with `emit_strips` additionally emits the following Y sweep's
+    halo side strips (consumed via `strips`), skipping the XLA strip
+    assembly."""
+    from ..ops.pallas.sweep import (fused_sweep_ip, inline_bc_y_ok,
+                                    inline_bc_x_ok)
+    if axis is Axis.Y:
+        inline = inline_bc_y_ok(cfg, state.rho.shape)
+    else:
+        inline = inline_bc_x_ok(cfg)
     if not inline:
         state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
     out = fused_sweep_ip(
@@ -154,13 +160,16 @@ def fused_sweep_step(cfg, state, axis: Axis, dt, last=True,
 
 def fused_cycle_step(cfg, state, pair, dt):
     """Two consecutive sweeps covering both axes in ONE kernel pass — the
-    MESH path (`ops/pallas/sweep.py:fused_cycle`): one halo-exchange round
-    per cycle instead of one per sweep. Both ghost bands are pre-filled
-    from the pre-pair state: valid because a sweep commutes bitwise with
-    the orthogonal ghost fill (see the kernel docstring)."""
-    from ..ops.pallas.sweep import fused_cycle, inline_bc_cycle_ok
+    small-grid path (`ops/pallas/sweep.py:fused_cycle`), on meshes and
+    single devices alike. Both ghost bands are pre-filled from the
+    pre-pair state: valid because a sweep commutes bitwise with the
+    orthogonal ghost fill (see the kernel docstring)."""
+    from ..ops.pallas.sweep import (fused_cycle, inline_bc_cycle_ok,
+                                    inline_bc_x_ok)
     T = np.dtype(cfg.dtype).type
-    state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
+    inline_x = inline_bc_x_ok(cfg)
+    if not inline_x:
+        state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
     inline = inline_bc_cycle_ok(cfg, state.rho.shape)
     if not inline:
         state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
@@ -171,7 +180,8 @@ def fused_cycle_step(cfg, state, pair, dt):
     rho, u, v, E, p_stale, local_min = fused_cycle(
         cfg, x_first, state.rho, state.u, state.v, state.E,
         dt * T(fx), dt * T(fy), n_real=_shard_n_real(cfg),
-        in_place=True, interpret=_pallas_interpret(cfg), inline_bc=inline)
+        in_place=True, interpret=_pallas_interpret(cfg), inline_bc=inline,
+        inline_bc_x=inline_x)
     return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
 
 
@@ -180,19 +190,21 @@ def run_schedule_fused(cfg, state, schedule, dt):
     T = np.dtype(cfg.dtype).type
     local_min = None
     i = 0
-    # Mesh: the whole-cycle kernel keeps the halo exchange at ONE
-    # collective round per cycle. Single device: per-sweep IN-PLACE
-    # kernels (no cross-sweep halo recompute) — except on SMALL grids,
-    # where per-kernel launch overhead dominates and one pass per cycle
-    # wins (+4-5% measured at 1000²-2000², losing ~6% by 4000² on the
-    # dev v5e-lite). The crossover is `cfg.pair_threshold` (the
-    # `pair_threshold` option / ARMON_PAIR_THRESHOLD): 0 = per-sweep on
-    # a single device, -1 = per-sweep everywhere.
-    if cfg.pair_threshold < 0:
-        pair_cycles = False
-    else:
-        pair_cycles = cfg.spmd or (cfg.pair_threshold > 0
-                                   and max(cfg.n_local) <= cfg.pair_threshold)
+    # Small local grids run the whole-cycle pair kernel (one launch per
+    # cycle beats two when launch overhead dominates: +4-5% measured at
+    # 1000²-2000² on the dev v5e-lite); large ones run the per-sweep
+    # IN-PLACE kernels — the pair kernel's full-width VMEM chunks shrink
+    # with array width until its halo-row recompute loses (-6% at 4000²,
+    # -28% at 8192², both measured; the sweeps are VPU/VMEM-bound at
+    # production widths, so the pair kernel's halved HBM traffic buys
+    # nothing — BENCH_NOTES round-3 "measured dead end"). The crossover
+    # `cfg.pair_threshold` (option / ARMON_PAIR_THRESHOLD) applies to
+    # max(n_local) — the LOCAL shard extent — on meshes too: the pair
+    # kernel saves no collective rounds (both paths exchange each ghost
+    # band once per cycle), so the same launch-vs-recompute tradeoff
+    # governs. <= 0 = per-sweep everywhere.
+    pair_cycles = (cfg.pair_threshold > 0
+                   and max(cfg.n_local) <= cfg.pair_threshold)
     can_emit = (not pair_cycles
                 and strip_emission_plan(cfg, cfg.local_shape) is not None)
     strips = None

@@ -16,11 +16,13 @@ One kernel instance executes the WHOLE sweep for its tile in VMEM:
 so per sweep each field crosses HBM once (read rho,u,v,E + write
 rho,u,v,E,p) instead of once per kernel, and the field outputs ALIAS their
 input buffers (`fused_sweep_ip`) so the jitted time loop carries zero
-full-array copies. Ghost-band filling stays outside in XLA: O(boundary)
-in-place slab writes (mirror BC) or the mesh halo exchange (ppermute).
-An in-kernel mirror-BC variant was built and measured in round 2: the
-lane-misaligned border concats cost more than the XLA slab writes they
-replaced, so it was removed.
+full-array copies. Single-device ghost-band filling runs IN-KERNEL —
+Y-axis mirror rows spliced into the halo concat (`_halo_cat_bc`), X-axis
+mirror lanes via aligned-slice static rolls (`_bc_x_apply`) — bitwise
+identical to the XLA slab writes and without their 8 launches per sweep.
+(A round-2 in-kernel variant lost to lane-MISALIGNED border concats;
+the current fills cut only at 128-aligned lanes / whole rows.) The mesh
+path's ghost fill stays outside: the ppermute halo exchange.
 
 Temporal blocking (two cycles per pass) was implemented and benched in
 round 1 (+5% at mid sizes, loses at 8192²) and removed: the kernel is
@@ -533,6 +535,73 @@ def _bc_y_spec(cfg, rows, chunk):
     return ((g, off), lo_fs, hi_fs)
 
 
+def _bc_x_apply(a, g, nx, f_lo, f_hi):
+    """In-kernel X-axis (lane-axis) mirror ghost fill of one full-width
+    buffer: ghost lane `g-1-i` <- `g+i` (times f_lo) and ghost lane
+    `g+nx+i` <- `g+nx-1-i` (times f_hi), i = 0..g-1 — the lane transpose
+    of `_halo_cat_bc`'s row splice (`src/halo_exchange.jl:2-36`). Bitwise
+    identical to the XLA slab-write fill it replaces: same source lanes,
+    same single multiply by the (+-1) factor.
+
+    Mosaic has no `rev` lowering (measured, scripts/probe_flip.py), so the
+    reversal is g static `jnp.roll`s (amounts 1, 3, .., 2g-1 — lane l of
+    roll(a, -(2i+1)) holds a[l + 2i+1]) each contributing one target lane
+    via an iota select. Rolls run on the two boundary 128-lane-ALIGNED
+    slices, not the full width (lane-misaligned work was what killed the
+    round-2 in-kernel variant); the re-assembly concats are lane-aligned
+    (cuts at 128 and R0), so the interior tiles pass through untouched."""
+    cols = a.shape[1]
+    # Aligned start of the narrowest lane-slice containing the right
+    # mirror band AND its source lanes [nx, nx+2g); R0 <= nx keeps the
+    # in-slice rolls wrap-free.
+    R0 = 128 * ((cols - 2 * g) // 128)
+
+    def fill(sl, base):
+        T = sl.dtype.type
+        lane = jax.lax.broadcasted_iota(jnp.int32, sl.shape, 1)
+        out = sl
+        for i in range(g):
+            tl = g - 1 - i - base
+            tr = g + nx + i - base
+            if 0 <= tl < sl.shape[1]:
+                src = jnp.roll(sl, -(2 * i + 1), 1)
+                if f_lo != 1.0:
+                    src = src * T(f_lo)
+                out = jnp.where(lane == tl, src, out)
+            if 0 <= tr < sl.shape[1]:
+                src = jnp.roll(sl, 2 * i + 1, 1)
+                if f_hi != 1.0:
+                    src = src * T(f_hi)
+                out = jnp.where(lane == tr, src, out)
+        return out
+
+    if R0 < 128:
+        return fill(a, 0)
+    parts = [fill(a[:, :128], 0)]
+    if R0 > 128:
+        parts.append(a[:, 128:R0])
+    parts.append(fill(a[:, R0:], R0))
+    return jnp.concatenate(parts, 1)
+
+
+def inline_bc_x_ok(cfg) -> bool:
+    """Whether the X-axis ghost fill can run inside the kernels: single
+    device only (the mesh path's X fill is the halo exchange / the traced
+    edge-shard BC, which needs shard-position-dependent factors)."""
+    return not cfg.spmd
+
+
+def _bc_x_spec(cfg):
+    """(g, nx, lo_factors, hi_factors) for `_bc_x_apply`, for the
+    fused-tier exchange set (rho, u, v, E)."""
+    from ...utils.enums import sides_along
+    side_lo, side_hi = sides_along(Axis.X)
+    u_lo, v_lo = cfg.test.boundary_factors(side_lo)
+    u_hi, v_hi = cfg.test.boundary_factors(side_hi)
+    return (cfg.nghost, cfg.n_local[0],
+            (1.0, u_lo, v_lo, 1.0), (1.0, u_hi, v_hi, 1.0))
+
+
 def _dt_tile_min(cfg, T, u_new, v_new, c_old, row0, col0, nx=None, ny=None,
                  mask_rows=True, mask_cols=True):
     """Per-tile CFL reduction over real cells (`src/reductions.jl:2-20`),
@@ -588,7 +657,7 @@ def _dt_from_tiles(cfg, dt_tiles):
 
 
 def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
-                    dt_ref, lim_ref, *refs):
+                    bc_x, dt_ref, lim_ref, *refs):
     T = np.dtype(cfg.dtype).type
     dt = dt_ref[0, 0]
     i = pl.program_id(0)
@@ -608,6 +677,14 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
         return jnp.roll(a, -k, 1) if k else a
 
     rho, u, v, E = rho_ref[:], u_ref[:], v_ref[:], E_ref[:]
+    if bc_x is not None:
+        # In-kernel X mirror ghost fill (single-device): saves the 8
+        # pre-sweep XLA slab-write launches; row-local, so alias-safe.
+        gx, nxs, lo_x, hi_x = bc_x
+        rho = _bc_x_apply(rho, gx, nxs, lo_x[0], hi_x[0])
+        u = _bc_x_apply(u, gx, nxs, lo_x[1], hi_x[1])
+        v = _bc_x_apply(v, gx, nxs, lo_x[2], hi_x[2])
+        E = _bc_x_apply(E, gx, nxs, lo_x[3], hi_x[3])
     rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dx),
                                                rho, u, v, E,
                                                _make_div(cfg, interp),
@@ -813,7 +890,9 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
     `_halo_strips` assembly.
 
     Ghost bands along `axis` must be pre-filled (mirror BC / halo
-    exchange). Returns (rho, u, v, E, p_stale|None, local_dt_min|None)
+    exchange) unless `inline_bc` — then the single-device mirror fill
+    runs in-kernel (Y: `_halo_cat_bc` row splice; X: `_bc_x_apply` lane
+    mirror). Returns (rho, u, v, E, p_stale|None, local_dt_min|None)
     plus, under emit_strips, a trailing ((above x4), (below x4)) tuple."""
     rows, cols = rho.shape
     dt_arr = jnp.asarray(dt, cfg.dtype).reshape(1, 1)
@@ -886,9 +965,13 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
                            + [pl.BlockSpec((8, cols), below_map,
                                            memory_space=pltpu.VMEM)] * 4)
             strip_shapes = [strip_shape] * 8
+        bc_x = None
+        if inline_bc:
+            assert inline_bc_x_ok(cfg)
+            bc_x = _bc_x_spec(cfg)
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
                                    emit_p, emit_dt, interpret, variant,
-                                   emit_strips)
+                                   emit_strips, bc_x)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -997,7 +1080,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
-                                   True, True, interpret, "", None)
+                                   True, True, interpret, "", None, None)
         dtmin_spec = pl.BlockSpec((8, 128), lambda i: _im(0, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
@@ -1070,7 +1153,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
 
 # ------------------------------------------------- fully-fused cycle kernel
 
-def _cycle_kernel(cfg, chunk, x_first, interp, bc_y,
+def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x,
                   dtx_ref, dty_ref, lim_ref,
                   rho_c, rho_a, rho_b, u_c, u_a, u_b,
                   v_c, v_a, v_b, E_c, E_a, E_b,
@@ -1109,6 +1192,16 @@ def _cycle_kernel(cfg, chunk, x_first, interp, bc_y,
     u = halo_cat(u_c[:], u_a[:], u_b[:], 1)
     v = halo_cat(v_c[:], v_a[:], v_b[:], 2)
     E = halo_cat(E_c[:], E_a[:], E_b[:], 3)
+
+    if bc_x is not None:
+        # In-kernel X mirror fill AFTER the Y row splice — on Y-ghost rows
+        # the fills land corner values f_x*(f_y*a) vs the XLA order's
+        # f_y*(f_x*a): both are two exact (+-1) multiplies, bitwise equal.
+        gx, nxs, lo_x, hi_x = bc_x
+        rho = _bc_x_apply(rho, gx, nxs, lo_x[0], hi_x[0])
+        u = _bc_x_apply(u, gx, nxs, lo_x[1], hi_x[1])
+        v = _bc_x_apply(v, gx, nxs, lo_x[2], hi_x[2])
+        E = _bc_x_apply(E, gx, nxs, lo_x[3], hi_x[3])
 
     def shx(a, k):
         # static shifts: see _x_sweep_kernel.sh
@@ -1163,12 +1256,16 @@ def _cycle_kernel(cfg, chunk, x_first, interp, bc_y,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "x_first",
                                              "in_place", "interpret",
-                                             "inline_bc"))
+                                             "inline_bc", "inline_bc_x"))
 def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
-                in_place=False, interpret=False, inline_bc=False):
+                in_place=False, interpret=False, inline_bc=False,
+                inline_bc_x=False):
     """One full cycle (two sweeps) in a single fused kernel pass — the
-    MESH-path kernel (one halo-exchange round per cycle). BOTH ghost bands
-    of rho/u/v/E must be pre-filled from the pre-cycle state.
+    small-grid kernel (one launch per cycle; above `pair_threshold` the
+    per-sweep kernels win, see core/step.py routing). BOTH ghost bands
+    of rho/u/v/E must be pre-filled from the pre-cycle state — except
+    bands whose fill is inlined (`inline_bc` = Y mirror rows,
+    `inline_bc_x` = X mirror lanes; single device only).
     `in_place`: the four field outputs alias their inputs (while-carry copy
     elimination) — halo rows come from `_halo_strips` side buffers so no
     grid step reads main-array rows outside its own block.
@@ -1225,8 +1322,12 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
     if inline_bc:
         assert in_place and can_inline_bc_y(cfg, rows, chunk)
         bc_y = _bc_y_spec(cfg, rows, chunk)
+    bc_x = None
+    if inline_bc_x:
+        assert inline_bc_x_ok(cfg)
+        bc_x = _bc_x_spec(cfg)
     kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first, interpret,
-                               bc_y)
+                               bc_y, bc_x)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -189,11 +189,11 @@ class ArmonParameters:
         # ~1 ulp; still zero-diff at the f32 golden gates). Set False for
         # strict IEEE divides.
         self.use_fast_math = bool(o.pop("use_fast_math", True))
-        # Whole-cycle pair-kernel routing crossover (fused tier): single-
-        # device grids with max(n_local) <= pair_threshold run one kernel
-        # pass per cycle. Default from ARMON_PAIR_THRESHOLD (dev-chip
-        # measured crossover 2048); 0 = per-sweep kernels on a single
-        # device, -1 = per-sweep everywhere (incl. the mesh path).
+        # Whole-cycle pair-kernel routing crossover (fused tier): local
+        # grids with max(n_local) <= pair_threshold run one kernel pass
+        # per cycle — on meshes the threshold applies to the shard
+        # extent. Default from ARMON_PAIR_THRESHOLD (dev-chip measured
+        # crossover 2048); <= 0 = per-sweep kernels everywhere.
         import os as _os
         self.pair_threshold = int(o.pop(
             "pair_threshold", _os.environ.get("ARMON_PAIR_THRESHOLD", 2048)))

@@ -93,12 +93,17 @@ def test_pallas_sweep_equivalence():
         assert abs(float(dtmin) - ref_min) <= 8 * np.finfo(np.float64).eps * ref_min
 
 
+@pytest.mark.parametrize("routing", ["pair", "per_sweep"])
 @pytest.mark.parametrize("P", [(2, 2), (4, 1), (3, 2)],
                          ids=lambda p: f"{p[0]}x{p[1]}")
-def test_pallas_sharded_matches_single(P):
-    """Fused tier on a device mesh == fused tier single-device."""
+def test_pallas_sharded_matches_single(P, routing):
+    """Fused tier on a device mesh == fused tier single-device, through
+    BOTH mesh routings: the whole-cycle pair kernel (small shards) and
+    the per-sweep kernels with a halo exchange before each sweep
+    (`pair_threshold=0` — the production path for large shards)."""
     if len(jax.devices()) < P[0] * P[1]:
         pytest.skip("not enough devices")
+    thr = 0 if routing == "per_sweep" else 2048
 
     def run(params):
         from armon_tpu.core.solver import make_jit_loop
@@ -109,11 +114,11 @@ def test_pallas_sharded_matches_single(P):
         return gather_state(params, state), int(cycles), float(dt)
 
     single = reference_params("Sod_circ", np.float64, maxcycle=10,
-                              kernel_tier="pallas")
+                              kernel_tier="pallas", pair_threshold=thr)
     ref_host, ref_cycles, ref_dt = run(single)
 
     sharded = reference_params("Sod_circ", np.float64, maxcycle=10, P=P,
-                               kernel_tier="pallas")
+                               kernel_tier="pallas", pair_threshold=thr)
     host, cycles, dt = run(sharded)
     assert cycles == ref_cycles
     # In interpret mode the kernels lower to regular XLA ops, whose fusion
@@ -156,6 +161,30 @@ def test_inline_bc_multi_tile():
         a = getattr(h1, var)[g:-g, g:-g]
         b = getattr(h2, var)[g:-g, g:-g]
         assert np.allclose(a, b, rtol=1e-12, atol=1e-14), var
+
+
+@pytest.mark.parametrize("cols,g,f", [
+    (108, 4, -1.0),    # N=100: single-region fill (cols-2g < 128)
+    (136, 4, 1.0),     # R0 == 128: two adjacent slices, empty middle
+    (264, 4, -1.0),    # aligned middle
+    (1008, 4, -1.0),   # production 1000²: misaligned total width
+    (1033, 4, 2.5),    # right band straddles into a 2-tile slice window
+    (68, 2, -1.0),     # g=2 (acoustic+euler scheme depth)
+])
+def test_bc_x_apply_geometry(cols, g, f):
+    """`_bc_x_apply` == the XLA mirror_slab fill for every lane-slice
+    geometry: single-region, empty-middle, aligned, misaligned widths,
+    and non-unit factors (exactly, incl. the multiply)."""
+    import jax.numpy as jnp
+    from armon_tpu.ops.pallas.sweep import _bc_x_apply
+    nx = cols - 2 * g
+    rng = np.random.default_rng(cols * 31 + g)
+    a = rng.standard_normal((16, cols))
+    out = np.asarray(_bc_x_apply(jnp.asarray(a), g, nx, f, f))
+    ref = a.copy()
+    ref[:, :g] = a[:, g:2 * g][:, ::-1] * f
+    ref[:, g + nx:] = a[:, nx:nx + g][:, ::-1] * f
+    assert (out == ref).all()
 
 
 def test_strip_emission_per_sweep():
