@@ -196,7 +196,11 @@ def _build_cycle(params):
         from .step import solver_cycle_fused
 
         def cycle(state, dt_prev, cycle_idx, local_min):
-            return solver_cycle_fused(cfg, state, dt_prev, cycle_idx, local_min)
+            # Per-cycle driver: no strip carry across host calls (the
+            # in-loop driver threads it; here each cycle re-assembles).
+            s, dt_use, dt_next, new_min, _strips, ok = solver_cycle_fused(
+                cfg, state, dt_prev, cycle_idx, local_min)
+            return s, dt_use, dt_next, new_min, ok
 
         if not cfg.spmd:
             return jax.jit(cycle)

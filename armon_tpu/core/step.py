@@ -158,12 +158,16 @@ def fused_sweep_step(cfg, state, axis: Axis, dt, last=True,
             strips_out)
 
 
-def fused_cycle_step(cfg, state, pair, dt):
+def fused_cycle_step(cfg, state, pair, dt, cycle_strips=None):
     """Two consecutive sweeps covering both axes in ONE kernel pass — the
     small-grid path (`ops/pallas/sweep.py:fused_cycle`), on meshes and
     single devices alike. Both ghost bands are pre-filled from the
     pre-pair state: valid because a sweep commutes bitwise with the
-    orthogonal ghost fill (see the kernel docstring)."""
+    orthogonal ghost fill (see the kernel docstring).
+    `cycle_strips`: the halo side strips emitted by the PREVIOUS cycle's
+    kernel (loop-carried, see `cycle_strips_on`); when given, the kernel
+    consumes them instead of the XLA `_halo_strips` assembly and emits
+    this cycle's own — the return gains the strips_out tuple."""
     from ..ops.pallas.sweep import (fused_cycle, inline_bc_cycle_ok,
                                     inline_bc_x_ok)
     T = np.dtype(cfg.dtype).type
@@ -177,15 +181,54 @@ def fused_cycle_step(cfg, state, pair, dt):
     x_first = ax0 is Axis.X
     fx = f0 if x_first else f1
     fy = f1 if x_first else f0
-    rho, u, v, E, p_stale, local_min = fused_cycle(
+    out = fused_cycle(
         cfg, x_first, state.rho, state.u, state.v, state.E,
         dt * T(fx), dt * T(fy), n_real=_shard_n_real(cfg),
         in_place=True, interpret=_pallas_interpret(cfg), inline_bc=inline,
-        inline_bc_x=inline_x)
-    return state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min
+        inline_bc_x=inline_x, emit_strips=cycle_strips is not None,
+        strips=cycle_strips)
+    rho, u, v, E, p_stale, local_min = out[:6]
+    strips_out = out[6] if cycle_strips is not None else None
+    return (state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min,
+            strips_out)
 
 
-def run_schedule_fused(cfg, state, schedule, dt):
+def cycle_strips_on(cfg) -> bool:
+    """Whether the pair-kernel path loop-carries its halo side strips
+    (emitted by each cycle's kernel for the next — no XLA `_halo_strips`
+    assembly between cycles). Needs: single device, the pair routing
+    active at this size, a strip-compatible tile plan, and EXACTLY one
+    X/Y pair per cycle in both schedules (a trailing odd sweep, e.g.
+    Strang's, would advance the state after the emission and stale the
+    strips)."""
+    from ..ops.pallas.sweep import cycle_strip_plan
+    if cfg.spmd:
+        return False
+    if not (cfg.pair_threshold > 0
+            and max(cfg.n_local) <= cfg.pair_threshold):
+        return False
+    even, odd = split_schedules(cfg.splitting)
+    for sched in (even, odd):
+        if len(sched) != 2 or {sched[0][0], sched[1][0]} != {Axis.X, Axis.Y}:
+            return False
+    return cycle_strip_plan(cfg, cfg.local_shape) is not None
+
+
+def seed_cycle_strips(cfg, state):
+    """The loop-carry seed: the XLA strip assembly of the INITIAL state
+    (bitwise what the first cycle's `_halo_strips` call would build)."""
+    from ..ops.pallas.sweep import _halo_strips, cycle_strip_plan
+    chunk, _ = cycle_strip_plan(cfg, cfg.local_shape)
+    rows = cfg.local_shape[0]
+    above, below = [], []
+    for var in FUSED_EXCHANGE_VARS:
+        a, b = _halo_strips(getattr(state, var), chunk, rows)
+        above.append(a)
+        below.append(b)
+    return (tuple(above), tuple(below))
+
+
+def run_schedule_fused(cfg, state, schedule, dt, cycle_strips=None):
     from ..ops.pallas.sweep import strip_emission_plan
     T = np.dtype(cfg.dtype).type
     local_min = None
@@ -211,8 +254,9 @@ def run_schedule_fused(cfg, state, schedule, dt):
     while i < len(schedule):
         if (pair_cycles and i + 1 < len(schedule)
                 and {schedule[i][0], schedule[i + 1][0]} == {Axis.X, Axis.Y}):
-            state, local_min = fused_cycle_step(
-                cfg, state, (schedule[i], schedule[i + 1]), dt)
+            state, local_min, cycle_strips = fused_cycle_step(
+                cfg, state, (schedule[i], schedule[i + 1]), dt,
+                cycle_strips=cycle_strips)
             i += 2
         else:
             axis, factor = schedule[i]
@@ -225,31 +269,35 @@ def run_schedule_fused(cfg, state, schedule, dt):
                 last=(i == len(schedule) - 1),
                 emit_strips=emit, strips=strips)
             i += 1
-    return state, local_min
+    return state, local_min, cycle_strips
 
 
-def solver_cycle_fused(cfg, state, dt_prev, cycle, local_min):
+def solver_cycle_fused(cfg, state, dt_prev, cycle, local_min,
+                       cycle_strips=None):
     """One full cycle, fused tier. `local_min` is the CFL minimum emitted by
     the previous cycle's last sweep (== the reference's asynchronous
-    next-cycle dt reduction, `src/reductions.jl:113-130`).
-    Returns (state, dt_use, dt_next, new_local_min, ok)."""
+    next-cycle dt reduction, `src/reductions.jl:113-130`). `cycle_strips`
+    loop-carries the pair kernel's self-emitted halo strips (see
+    `cycle_strips_on`).
+    Returns (state, dt_use, dt_next, new_local_min, new_strips, ok)."""
     dt_use, dt_next, ok = dt_update(cfg, local_min, dt_prev, cycle,
                                     reduce=False)
     even, odd = split_schedules(cfg.splitting)
     if even == odd:
-        state, new_min = run_schedule_fused(cfg, state, even, dt_use)
+        state, new_min, strips = run_schedule_fused(cfg, state, even, dt_use,
+                                                    cycle_strips)
     else:
-        state, new_min = lax.cond(
+        state, new_min, strips = lax.cond(
             cycle % 2 == 0,
-            lambda s: run_schedule_fused(cfg, s, even, dt_use),
-            lambda s: run_schedule_fused(cfg, s, odd, dt_use),
-            state,
+            lambda s, cs: run_schedule_fused(cfg, s, even, dt_use, cs),
+            lambda s, cs: run_schedule_fused(cfg, s, odd, dt_use, cs),
+            state, cycle_strips,
         )
     if cfg.spmd:
         # Reduce at production so the carry is replicated over the mesh
         # (the reference's one-cycle-early Iallreduce, src/reductions.jl:117-125).
         new_min = lax.pmin(new_min, axis_name=cfg.axis_names)
-    return state, dt_use, dt_next, new_min, ok
+    return state, dt_use, dt_next, new_min, strips, ok
 
 
 def make_time_loop(cfg, restore=False):
@@ -273,15 +321,19 @@ def make_time_loop(cfg, restore=False):
         cycle0 = np.int32(0) if cycle0 is None else cycle0
         dt0 = T(0.0) if dt0 is None else dt0
         if fused:
+            strips_on = cycle_strips_on(cfg)
+
             def cond(carry):
-                _, t, cycle, _, _, ok = carry
+                _, _, t, cycle, _, _, ok = carry
                 return (t < maxtime) & (cycle < maxcycle) & ok
 
             def body(carry):
-                fs, t, cycle, dt_prev, local_min, _ = carry
-                fs, dt_use, dt_next, local_min, ok = solver_cycle_fused(
-                    cfg, fs, dt_prev, cycle, local_min)
-                return (fs, t + dt_use, cycle + 1, dt_next, local_min, ok)
+                fs, strips, t, cycle, dt_prev, local_min, _ = carry
+                fs, dt_use, dt_next, local_min, strips, ok = \
+                    solver_cycle_fused(cfg, fs, dt_prev, cycle, local_min,
+                                       cycle_strips=strips)
+                return (fs, strips, t + dt_use, cycle + 1, dt_next,
+                        local_min, ok)
         else:
             def cond(carry):
                 _, t, cycle, _, ok = carry
@@ -316,8 +368,12 @@ def make_time_loop(cfg, restore=False):
             # ustar, pstar are untouched by the fused cycle, and dropping
             # them halves HBM pressure at capacity-limit grid sizes.
             fs = FusedCarry(state.rho, state.u, state.v, state.E, state.p)
-            carry = (fs, t0, cycle0, dt0, local0, jnp.asarray(True))
-            fs, t, cycles, dt_last, lm, ok = lax.while_loop(cond, body, carry)
+            # Pair-path halo strips ride the carry (self-emitted each
+            # cycle); the seed is the XLA assembly of the initial state.
+            strips0 = seed_cycle_strips(cfg, state) if strips_on else None
+            carry = (fs, strips0, t0, cycle0, dt0, local0, jnp.asarray(True))
+            fs, _, t, cycles, dt_last, lm, ok = lax.while_loop(cond, body,
+                                                               carry)
             state = state._replace(rho=fs.rho, u=fs.u, v=fs.v, E=fs.E, p=fs.p)
         else:
             carry = (state, t0, cycle0, dt0, jnp.asarray(True))

@@ -519,6 +519,31 @@ def inline_bc_cycle_ok(cfg, shape) -> bool:
     return can_inline_bc_y(cfg, rows, chunk)
 
 
+def cycle_strip_plan(cfg, shape):
+    """Geometry for the WHOLE-CYCLE kernel emitting its own NEXT cycle's
+    halo side strips from its output rows (single-device pair path):
+    grid step i's last 8 output rows are above-strip block i+1, its first
+    8 rows are below-strip block i-1 — so the `_halo_strips` XLA assembly
+    round between cycles disappears and the strips ride the loop carry.
+    The never-written blocks (above 0, below nci-1) are the clamped
+    placeholders whose consumed results land only in dead ghost rows (the
+    same argument as `_halo_strips`' clamping), so their garbage content
+    is unobservable. Returns (chunk, nci) or None (mesh shards exchange
+    halos instead; a ragged tail < 8 rows would leave the last step's
+    below-strip write short)."""
+    if cfg.spmd:
+        return None
+    from ...parallel.blocking import cycle_chunk_rows
+    rows, cols = shape
+    chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize,
+                             getattr(cfg, "block_size", None))
+    nci = -(-rows // chunk)
+    tail = rows - (nci - 1) * chunk
+    if nci >= 2 and tail < 8:
+        return None
+    return (chunk, nci)
+
+
 def _bc_y_spec(cfg, rows, chunk):
     """((g, off), lo_factors, hi_factors) for `_halo_cat_bc`, for the
     fused-tier exchange set (rho, u, v, E). `off` = the hi ghost band's
@@ -1153,11 +1178,11 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
 
 # ------------------------------------------------- fully-fused cycle kernel
 
-def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x,
+def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x, emit_strips,
                   dtx_ref, dty_ref, lim_ref,
                   rho_c, rho_a, rho_b, u_c, u_a, u_b,
                   v_c, v_a, v_b, E_c, E_a, E_b,
-                  rho_o, u_o, v_o, E_o, p_o, dtmin_o):
+                  rho_o, u_o, v_o, E_o, p_o, *rest):
     """Both sweeps of one cycle on a (chunk + 8)-row full-width tile.
 
     Valid because (a) the X sweep is row-local, so computing it on the halo
@@ -1230,6 +1255,25 @@ def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x,
     rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
         rho2[sl], u2[sl], v2[sl], E2[sl], p_st[sl]
 
+    dtmin_o = rest[-1]
+    if emit_strips:
+        # Emit the NEXT cycle's halo side strips straight from this step's
+        # output rows (see `cycle_strip_plan`): above-block ci+1 = my last
+        # 8 output rows, below-block ci-1 = my first 8. The unwritten
+        # blocks (above 0 / below nci-1) stay clamped placeholders.
+        nci_s = pl.num_programs(0)
+        fields2 = (rho2, u2, v2, E2)
+
+        @pl.when(ci < nci_s - 1)
+        def _():
+            for k, f2 in enumerate(fields2):
+                rest[k][:] = f2[H + chunk - 8:H + chunk]
+
+        @pl.when(ci > 0)
+        def _():
+            for k, f2 in enumerate(fields2):
+                rest[4 + k][:] = f2[H:H + 8]
+
     @pl.when(ci == 0)
     def _():
         dtmin_o[:] = jnp.zeros((8, 128), cfg.dtype)
@@ -1256,10 +1300,11 @@ def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "x_first",
                                              "in_place", "interpret",
-                                             "inline_bc", "inline_bc_x"))
+                                             "inline_bc", "inline_bc_x",
+                                             "emit_strips"))
 def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
                 in_place=False, interpret=False, inline_bc=False,
-                inline_bc_x=False):
+                inline_bc_x=False, emit_strips=False, strips=None):
     """One full cycle (two sweeps) in a single fused kernel pass — the
     small-grid kernel (one launch per cycle; above `pair_threshold` the
     per-sweep kernels win, see core/step.py routing). BOTH ghost bands
@@ -1268,9 +1313,14 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
     `inline_bc_x` = X mirror lanes; single device only).
     `in_place`: the four field outputs alias their inputs (while-carry copy
     elimination) — halo rows come from `_halo_strips` side buffers so no
-    grid step reads main-array rows outside its own block.
-    Returns (rho, u, v, E, p_stale, local_dt_min). `n_real` = this
-    shard's (nx, ny) real extent (traced; defaults to cfg.n_local)."""
+    grid step reads main-array rows outside its own block. `strips`: an
+    ((above x4), (below x4)) tuple emitted by the PREVIOUS cycle's kernel
+    (`emit_strips` + `cycle_strip_plan`), used instead of the XLA
+    `_halo_strips` assembly; `emit_strips` appends this cycle's own strip
+    emission to the outputs.
+    Returns (rho, u, v, E, p_stale, local_dt_min) plus, under
+    emit_strips, a trailing ((above x4), (below x4)) tuple. `n_real` =
+    this shard's (nx, ny) real extent (traced; defaults to cfg.n_local)."""
     rows, cols = rho.shape
     dtx = jnp.asarray(dt_x, cfg.dtype).reshape(1, 1)
     dty = jnp.asarray(dt_y, cfg.dtype).reshape(1, 1)
@@ -1305,7 +1355,10 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
         strip = pl.BlockSpec((halo_blk, cols), lambda i: _im(i, 0),
                              memory_space=pltpu.VMEM)
         for k, a in enumerate((rho, u, v, E)):
-            above_s, below_s = _halo_strips(a, chunk, rows)
+            if strips is not None:
+                above_s, below_s = strips[0][k], strips[1][k]
+            else:
+                above_s, below_s = _halo_strips(a, chunk, rows)
             in_specs += [cur, strip, strip]
             aliases[3 + 3 * k] = k
             args += [a, above_s, below_s]
@@ -1326,20 +1379,44 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
     if inline_bc_x:
         assert inline_bc_x_ok(cfg)
         bc_x = _bc_x_spec(cfg)
+    strip_out_specs, strip_out_shapes = [], []
+    if emit_strips:
+        assert in_place and cycle_strip_plan(cfg, (rows, cols)) is not None
+        nci_c = -(-rows // chunk)
+
+        def above_out_map(i):
+            return _im(jnp.minimum(jnp.asarray(i, jnp.int32) + np.int32(1),
+                                   np.int32(nci_c - 1)), 0)
+
+        def below_out_map(i):
+            return _im(jnp.maximum(jnp.asarray(i, jnp.int32) - np.int32(1),
+                                   np.int32(0)), 0)
+
+        strip_out_specs = ([pl.BlockSpec((8, cols), above_out_map,
+                                         memory_space=pltpu.VMEM)] * 4
+                           + [pl.BlockSpec((8, cols), below_out_map,
+                                           memory_space=pltpu.VMEM)] * 4)
+        strip_out_shapes = [jax.ShapeDtypeStruct((nci_c * 8, cols),
+                                                 cfg.dtype)] * 8
     kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first, interpret,
-                               bc_y, bc_x)
+                               bc_y, bc_x, emit_strips)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[cur] * 5 + [pl.BlockSpec((8, 128), lambda i: _im(0, 0),
-                                            memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((rows, cols), cfg.dtype)] * 5 + [
-            jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
+        out_specs=[cur] * 5 + strip_out_specs
+        + [pl.BlockSpec((8, 128), lambda i: _im(0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((rows, cols), cfg.dtype)] * 5
+        + strip_out_shapes + [jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
         input_output_aliases=aliases,
         compiler_params=cparams,
         interpret=interpret,
     )(*args)
 
-    rho2, u2, v2, E2, p_st, dt_tiles = out
-    return rho2, u2, v2, E2, p_st, _dt_from_tiles(cfg, dt_tiles)
+    rho2, u2, v2, E2, p_st = out[:5]
+    dt_min = _dt_from_tiles(cfg, out[-1])
+    if emit_strips:
+        strips_out = (tuple(out[5:9]), tuple(out[9:13]))
+        return rho2, u2, v2, E2, p_st, dt_min, strips_out
+    return rho2, u2, v2, E2, p_st, dt_min

@@ -90,12 +90,15 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     if cols <= 512:
         tile_c = _round_up(cols, 128)
     else:
-        # live-temporary slice of the scoped-VMEM budget (the rest is
-        # Mosaic's i/o double buffers); 60 MiB at the default 100 MiB
-        budget = VMEM_BUDGET * 3 // 5
-        per_lane = (chunk + 16) * LIVE_BUFFERS * itemsize
-        tile_c = max(128, min((budget // per_lane // 128) * 128, 256))
-        tile_c = min(tile_c, _round_up(cols, 128))
+        # One 128-lane tile: measured best at every production width once
+        # the in-kernel ghost fills landed (round-3 full-loop sweeps:
+        # 8192² 128 -> 5.31 vs 256 -> 4.87; Sod 4000² 128/176 -> 5.03 vs
+        # 256-default 4.69; Bizarrium 4000² 128/136 -> 4.36 vs 3.98;
+        # 16384x4096 128/200 -> 5.13 vs 4.88 Gcells/s) — narrower tiles
+        # shorten the sublane-roll vreg chains and pipeline more grid
+        # steps per sweep. (256 was the round-2 optimum when the XLA
+        # slab-write thunks still serialized the cycle.)
+        tile_c = 128
     if block_size is not None:
         # authoritative like the chunk height (perf sweeps probe above
         # the auto choice too)

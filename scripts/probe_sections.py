@@ -1,26 +1,11 @@
-"""Section-level perf attribution for the per-sweep production kernels.
+"""Per-section timing of the PRODUCTION per-sweep path (post in-kernel-BC):
+X sweep (emit off, strips emitted), Y sweep (emit on, strips consumed),
+and the chained cycle — each as a jitted fori_loop of K reps so the ~26 ms
+dispatch RTT is amortized (CLAUDE.md gotcha).
 
-Times the in-place per-sweep kernel (`fused_sweep_ip`, the single-device
-path) under scheme variants whose dead sections Mosaic DCEs away, isolating
-the cost of each part of the sweep math, separately for the X (lane-shift)
-and Y (sublane-shift) kernels:
-
-  base        GAD + minmod + euler_2nd   (the bench config)
-  no_limiter  GAD + no_limiter + euler_2nd  -> limiter-ratio share
-  euler1      GAD + minmod + euler       -> 2nd-order projection share
-  godunov2    Godunov + euler_2nd        -> GAD blend share
-  first       Godunov + euler            -> whole 2nd-order surcharge
-  no_dt       base, emit_dt=False        -> CFL reduction + c share
-  no_p        base, emit_p=False         -> p output-stream share
-
-Each timing runs `reps` sweeps inside one jitted fori_loop (the carry
-aliases in place, so there are no defensive copies — see
-scripts/probe_alias.py for why top-level in-place calls mis-time).
-
-Usage: python scripts/probe_sections.py [N] [reps]   (default 8192 30)
+Usage: python scripts/probe_sections.py [N] [K]
 """
 
-import functools
 import os
 import sys
 import time
@@ -28,104 +13,82 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from armon_tpu import ArmonParameters
 from armon_tpu.utils.enums import Axis
-
-
-def make_cfg(n, riemann, limiter, projection):
-    return ArmonParameters(
-        test="Sod", N=(n, n), data_type=np.float32, scheme=riemann,
-        projection=projection, riemann_limiter=limiter, nghost=4,
-        maxcycle=1, silent=5, measure_time=False).config
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "axis", "reps",
-                                             "emit_p", "emit_dt", "variant"))
-def sweep_loop(cfg, axis, reps, emit_p, emit_dt, variant, rho, u, v, E, dt):
-    from armon_tpu.ops.pallas.sweep import fused_sweep_ip
-
-    def body(_, carry):
-        rho, u, v, E, acc = carry
-        rho, u, v, E, _p, lm = fused_sweep_ip(
-            cfg, axis, rho, u, v, E, dt,
-            emit_p=emit_p, emit_dt=emit_dt, interpret=False,
-            variant=variant)
-        acc = acc + (lm if lm is not None else rho[8, 8])
-        return rho, u, v, E, acc
-
-    z = jnp.zeros((), cfg.dtype)
-    return lax.fori_loop(0, reps, body, (rho, u, v, E, z))
-
-
-def time_loop(cfg, axis, fields, n, reps, label, emit_p=True, emit_dt=True,
-              variant=""):
-    dt = cfg.dtype.type(1e-5)
-    out = sweep_loop(cfg, axis, reps, emit_p, emit_dt, variant, *fields, dt)
-    _ = float(np.asarray(out[-1]))  # sync (block_until_ready no-op on axon)
-    best = float("inf")
-    for _r in range(3):
-        t0 = time.perf_counter()
-        out = sweep_loop(cfg, axis, reps, emit_p, emit_dt, variant, *fields, dt)
-        _ = float(np.asarray(out[-1]))
-        best = min(best, (time.perf_counter() - t0) / reps)
-    print(f"  {label:14s} {axis.name}: {n * n / best / 1e9:7.3f} Gcells/s/sweep"
-          f"   {best * 1e3:7.3f} ms", flush=True)
-    return best
+from armon_tpu.ops.pallas.sweep import fused_sweep_ip, strip_emission_plan
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    only = sys.argv[3] if len(sys.argv) > 3 else None  # substring filter
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    params = ArmonParameters(test="Sod", N=(n, n), data_type=np.float32,
+                             maxcycle=1, silent=5, measure_time=False)
+    cfg = params.config
+    rows, cols = cfg.local_shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    rho = jax.random.uniform(ks[0], (rows, cols), jnp.float32, 0.5, 2.0)
+    u = jax.random.uniform(ks[1], (rows, cols), jnp.float32, -0.1, 0.1)
+    v = jax.random.uniform(ks[2], (rows, cols), jnp.float32, -0.1, 0.1)
+    E = jax.random.uniform(ks[3], (rows, cols), jnp.float32, 1.0, 3.0)
+    dt = np.float32(1e-6)
+    cells = n * n
+    can_emit = strip_emission_plan(cfg, (rows, cols)) is not None
+    print(f"N={n} K={K} strips_emitted={can_emit}", flush=True)
 
-    variants = [
-        ("base", ("GAD", "minmod", "euler_2nd"), {}),
-        ("shareB (1-chain r_m/r_p)", ("GAD", "minmod", "euler_2nd"),
-         dict(variant="shareB")),
-        ("no_limiter", ("GAD", "no_limiter", "euler_2nd"), {}),
-        ("euler1", ("GAD", "minmod", "euler"), {}),
-        ("godunov2", ("Godunov", "minmod", "euler_2nd"), {}),
-        ("first", ("Godunov", "minmod", "euler"), {}),
-        ("no_dt", ("GAD", "minmod", "euler_2nd"), dict(emit_dt=False)),
-        ("no_p", ("GAD", "minmod", "euler_2nd"), dict(emit_p=False)),
-    ]
+    def x_step(a, emit=False):
+        r, uu, vv, ee = a
+        out = fused_sweep_ip(cfg, Axis.X, r, uu, vv, ee, dt,
+                             emit_p=False, emit_dt=False, inline_bc=True,
+                             emit_strips=emit)
+        return out
 
-    cfg0 = make_cfg(n, "GAD", "minmod", "euler_2nd")
-    rows, cols = cfg0.local_shape
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 4)
-    fields = (
-        jax.random.uniform(ks[0], (rows, cols), jnp.float32, 0.5, 2.0),
-        jax.random.uniform(ks[1], (rows, cols), jnp.float32, -0.1, 0.1),
-        jax.random.uniform(ks[2], (rows, cols), jnp.float32, -0.1, 0.1),
-        jax.random.uniform(ks[3], (rows, cols), jnp.float32, 1.0, 3.0),
-    )
-    print(f"N={n} rows={rows} cols={cols} reps={reps}")
+    def y_step(a, strips=None):
+        r, uu, vv, ee = a
+        return fused_sweep_ip(cfg, Axis.Y, r, uu, vv, ee, dt,
+                              emit_p=True, emit_dt=True, inline_bc=True,
+                              strips=strips)
 
-    base = {}
-    for label, (riemann, limiter, projection), kw in variants:
-        if only and label != "base" and only not in label:
-            continue
-        cfg = make_cfg(n, riemann, limiter, projection)
-        for axis in (Axis.X, Axis.Y):
-            try:
-                t = time_loop(cfg, axis, fields, n, reps, label, **kw)
-                if label == "base":
-                    base[axis] = t
-                elif axis in base:
-                    d = base[axis] - t
-                    print(f"  {'':14s} -> section share "
-                          f"{100 * d / base[axis]:5.1f}%  ({d * 1e3:6.3f} ms)")
-            except Exception as e:
-                print(f"  {label} {axis.name} FAILED: "
-                      f"{type(e).__name__}: {str(e)[:160]}")
+    @jax.jit
+    def loop_x(r, uu, vv, ee):
+        def body(_, a):
+            o = x_step(a)
+            return o[:4]
+        return jax.lax.fori_loop(0, K, body, (r, uu, vv, ee))
+
+    @jax.jit
+    def loop_y(r, uu, vv, ee):
+        def body(_, a):
+            o = y_step(a)
+            return o[:4]
+        return jax.lax.fori_loop(0, K, body, (r, uu, vv, ee))
+
+    @jax.jit
+    def loop_cycle(r, uu, vv, ee):
+        def body(_, a):
+            o = x_step(a, emit=can_emit)
+            strips = o[-1] if can_emit else None
+            o2 = y_step(o[:4], strips=strips)
+            return o2[:4]
+        return jax.lax.fori_loop(0, K, body, (r, uu, vv, ee))
+
+    for label, fn, per in (("X sweep (emit off)", loop_x, 1),
+                           ("Y sweep (emit on)", loop_y, 1),
+                           ("cycle X+Y (production)", loop_cycle, 1)):
+        out = fn(rho, u, v, E)
+        _ = float(np.asarray(out[0][0, 0]))
+        best = float("inf")
+        for _r in range(3):
+            t0 = time.perf_counter()
+            out = fn(rho, u, v, E)
+            _ = float(np.asarray(out[0][0, 0]))
+            best = min(best, (time.perf_counter() - t0 - 0.026) / K)
+        print(f"  {label:28s} {best * 1e3:7.3f} ms "
+              f"({cells / best / 1e9:6.2f} Gcells/s-equiv)", flush=True)
 
 
 if __name__ == "__main__":

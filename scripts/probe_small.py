@@ -80,7 +80,7 @@ def main():
     def cycle_loop(s, dtp, lm):
         def body(i, carry):
             s, dtp, lm, acc = carry
-            s, dt_use, dt_next, lm, ok = solver_cycle_fused(
+            s, dt_use, dt_next, lm, _strips, ok = solver_cycle_fused(
                 cfg, s, dtp, i, lm)
             return s, dt_next, lm, acc + dt_use
 

@@ -112,7 +112,7 @@ def test_pair_cycle_matches_per_sweep(seed):
     s1, lm1, _ = fused_sweep_step(cfg, s1, Axis.Y, dt, last=True)
 
     pair = ((Axis.X, 1.0), (Axis.Y, 1.0))
-    s2, lm2 = fused_cycle_step(cfg, state, pair, dt)
+    s2, lm2, _ = fused_cycle_step(cfg, state, pair, dt)
 
     g = cfg.nghost
     rs = (slice(g, -g), slice(g, -g))
