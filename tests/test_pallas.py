@@ -215,6 +215,49 @@ def test_strip_emission_per_sweep():
         assert np.allclose(a, b, rtol=1e-12, atol=1e-14), var
 
 
+def test_cycle_strip_carry_bitwise():
+    """The pair kernel's self-emitted halo-strip carry must be active for
+    a production-shaped small grid AND produce BIT-identical real cells
+    to the per-cycle XLA `_halo_strips` assembly it replaces (the ghost
+    bands may hold placeholder garbage — invariant 3's dead-cell
+    contract). The off-variant is forced by monkeypatching the gate;
+    jax caches are cleared between variants (CLAUDE.md trace-cache
+    gotcha)."""
+    import armon_tpu.core.step as step_mod
+    from armon_tpu.core.solver import make_jit_loop, _FN_CACHE
+
+    kw = dict(N=(64, 300), maxcycle=8)
+    params = reference_params("Sod_circ", np.float64, kernel_tier="pallas",
+                              **kw)
+    assert step_mod.cycle_strips_on(params.config)
+
+    def run():
+        p = reference_params("Sod_circ", np.float64, kernel_tier="pallas",
+                             **kw)
+        state = make_init(p)()
+        state, t, cycles, dt, lm, ok = make_jit_loop(p)(state)
+        assert bool(ok)
+        return gather_state(p, state), float(dt)
+
+    h_on, d_on = run()
+    orig = step_mod.cycle_strips_on
+    jax.clear_caches()
+    _FN_CACHE.clear()
+    try:
+        step_mod.cycle_strips_on = lambda cfg: False
+        h_off, d_off = run()
+    finally:
+        step_mod.cycle_strips_on = orig
+        jax.clear_caches()
+        _FN_CACHE.clear()
+    assert d_on == d_off
+    g = 4
+    for var in ("rho", "u", "v", "E", "p"):
+        a = np.asarray(getattr(h_on, var))[g:-g, g:-g]
+        b = np.asarray(getattr(h_off, var))[g:-g, g:-g]
+        assert (a == b).all(), var
+
+
 @pytest.mark.parametrize("N", [(64, 52), (100, 101), (48, 44)],
                          ids=lambda n: f"{n[0]}x{n[1]}")
 def test_pallas_ragged_heights(N):
