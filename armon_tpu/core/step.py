@@ -10,6 +10,8 @@ Numerical schedule per sweep (`src/solver.jl:300-317`):
     EOS -> ghost exchange -> Riemann fluxes -> cell update -> remap
 """
 
+import os
+
 import numpy as np
 
 import jax
@@ -24,6 +26,12 @@ from ..ops.update import cell_update
 from ..ops.projection import projection_remap
 from .splitting import split_schedules
 from .timestep import next_time_step, dt_update
+
+
+# A/B knob for the fused-kernel math variants (jit static arg — see
+# CLAUDE.md on why monkeypatching is invisible to the trace cache).
+# Read once at import: per-process selection for interleaved bench A/Bs.
+_SWEEP_VARIANT = os.environ.get("ARMON_SWEEP_VARIANT", "")
 
 
 def ghost_exchange(cfg, state, axis: Axis, vars=None):
@@ -146,7 +154,7 @@ def fused_sweep_step(cfg, state, axis: Axis, dt, last=True,
         cfg, axis, state.rho, state.u, state.v, state.E, dt,
         n_real=_shard_n_real(cfg), emit_p=last, emit_dt=last,
         interpret=_pallas_interpret(cfg), inline_bc=inline,
-        emit_strips=emit_strips, strips=strips)
+        variant=_SWEEP_VARIANT, emit_strips=emit_strips, strips=strips)
     if emit_strips:
         rho, u, v, E, p_stale, local_min, strips_out = out
     else:

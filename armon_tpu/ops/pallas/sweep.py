@@ -106,7 +106,7 @@ def _eos(cfg, T, rho, u, v, E, div=None):
     return p, c
 
 
-def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True):
+def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True, variant=""):
     """Returns (p, rho*c, c). The acoustic impedance rho*c is what the
     Riemann solve and theta-blend actually consume (`src/riemann_schemes.jl:
     21-30,76-80`); c itself is only needed by the CFL reduction. Under
@@ -121,6 +121,46 @@ def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True):
         rho0 = T(10000.0); K0 = T(1e11); Cv0 = T(1000.0); T0 = T(300.0)
         eps0 = T(0.0); G0 = T(1.5); s = T(1.5)
         q = T(-42080895.0 / 14941154.0); r = T(727668333.0 / 149411540.0)
+        if fast and "eosref" not in variant:
+            # fast_math restructure of the same chain (~1-2 ulp from the
+            # reference forms; exact-IEEE mode below keeps them bitwise
+            # for the golden ladder): Horner polynomials, G folded into
+            # epsk0 through ONE shared Newton-refined 1/rho (also reused
+            # by c), p - pk0 == G0*rho0*(e - epsk0) reused under the
+            # sqrt, and rc == sq directly (rho * (sq/rho) reassociated).
+            # ~10 fewer elementwise ops + one exact divide and one full
+            # reciprocal chain removed per cell on the stiff-EOS path.
+            r_rho = pl.reciprocal(rho, approx=True)
+            r_rho = r_rho * (2.0 - rho * r_rho)
+            x = rho * T(1.0 / 10000.0) - 1
+            x2 = x * x
+            over_sx = _div_shared(div, 1 - s * x)
+            k = T(s / 3 - 2)
+            f0 = over_sx(((r * x + q) * x + k) * x + 1)
+            f1 = over_sx((3 * r * x + 2 * q) * x + k + s * f0)
+            f2t = over_sx(6 * r * x + 2 * q + 2 * s * f1)
+            # epsk0 with G = G0*(1 - rho0/rho) folded:
+            # -Cv0*T0*(1+G) = -Cv0*T0*(1+G0) + Cv0*T0*G0*rho0/rho.
+            epsk0 = ((eps0 - Cv0 * T0 * (1 + G0))
+                     + (Cv0 * T0 * G0 * rho0) * r_rho
+                     + (T(0.5) * K0 / rho0) * (x2 * f0))
+            xp1 = 1 + x
+            xp12 = xp1 * xp1
+            pk0 = (-Cv0 * T0 * G0 * rho0
+                   + (T(0.5) * K0) * (x * xp12) * (2 * f0 + x * f1))
+            # inner terms expanded FMA-style: 2(1+3x) = 6x+2,
+            # 2x(2+3x) = x*(6x+4), x^2(1+x) = x2*xp1.
+            pk0prime = (-T(0.5) * K0 * rho0) * (xp12 * xp1) * (
+                (6 * x + 2) * f0 + (x * (6 * x + 4)) * f1
+                + (x2 * xp1) * f2t)
+            e = E - 0.5 * (u ** 2 + v ** 2)
+            tt = (G0 * rho0) * (e - epsk0)
+            p = pk0 + tt
+            sq = jnp.sqrt((G0 * rho0) * tt - pk0prime)
+            if not need_c:
+                return p, sq, None
+            c = sq * r_rho
+            return p, sq, c
         x = rho / rho0 - 1
         G = G0 * (1 - div(rho0, rho))
         # f0, f1 and the pk0prime inner term all divide by the SAME
@@ -212,7 +252,8 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
         div = _EXACT_DIV
 
     # EOS (src/kernels.jl:4-13) — from the input (pre-sweep) state.
-    p, rc, c = _eos_prc(cfg, T, rho, uax, uot, E, div, need_c=need_c)
+    p, rc, c = _eos_prc(cfg, T, rho, uax, uot, E, div, need_c=need_c,
+                        variant=variant)
 
     # Cell mass (src/kernels.jl:60) — hoisted: the GAD theta term reads it
     # and its -1 shift (sh is a permutation, so sh(dm) == sh(rho)*dx bitwise).

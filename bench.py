@@ -19,7 +19,8 @@ import numpy as np
 BASELINE = 5e9  # cell-updates/s/chip target (BASELINE.md)
 
 
-def bench(n=8192, dtype=np.float32, cycles=50, tier=None, ny=None):
+def bench(n=8192, dtype=np.float32, cycles=50, tier=None, ny=None,
+          test="Sod"):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     if np.dtype(dtype).itemsize == 8:
@@ -30,7 +31,7 @@ def bench(n=8192, dtype=np.float32, cycles=50, tier=None, ny=None):
     ny = ny or n
     tier = tier or os.environ.get("ARMON_BENCH_TIER", "pallas")
     params = ArmonParameters(
-        test="Sod", N=(n, ny), data_type=dtype, scheme="GAD",
+        test=test, N=(n, ny), data_type=dtype, scheme="GAD",
         projection="euler_2nd", riemann_limiter="minmod", nghost=4,
         maxcycle=cycles, maxtime=1e30, silent=5, measure_time=False,
         kernel_tier=tier,
@@ -67,19 +68,22 @@ def main():
     cycles = int(os.environ.get("ARMON_BENCH_CYCLES", "150"))
     dtype = np.float32 if os.environ.get("ARMON_BENCH_DTYPE", "f32") == "f32" \
         else np.float64
+    test = os.environ.get("ARMON_BENCH_TEST", "Sod")
 
     try:
-        value, elapsed, ran = bench(n=n, ny=ny, dtype=dtype, cycles=cycles)
+        value, elapsed, ran = bench(n=n, ny=ny, dtype=dtype, cycles=cycles,
+                                    test=test)
     except Exception as e:  # report failure as a zero measurement
         print(json.dumps({
-            "metric": "cell-updates/sec/chip (Sod %dx%d GAD+minmod euler_2nd)" % (n, ny),
+            "metric": "cell-updates/sec/chip (%s %dx%d GAD+minmod euler_2nd)"
+                      % (test, n, ny),
             "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}"[:300],
         }))
         return
 
     print(json.dumps({
-        "metric": f"cell-updates/sec/chip (Sod {n}x{ny} "
+        "metric": f"cell-updates/sec/chip ({test} {n}x{ny} "
                   f"{np.dtype(dtype).name} GAD+minmod euler_2nd, {ran} cycles)",
         "value": round(value, 1),
         "unit": "cells/s",

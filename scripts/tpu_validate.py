@@ -104,6 +104,33 @@ def main():
     ok, d = golden(np.float64, 64, 1e-5, 20 * np.finfo(np.float32).eps)
     check("f64 on TPU (jnp fallback, emulated) within f32 gates", ok, d)
 
+    # The stiff-EOS (Bizarrium) fast-math kernel chain is restructured
+    # (Horner polynomials, shared reciprocals) and only engages on compiled
+    # Mosaic f32 — the CPU suite (interpret mode = exact IEEE) never sees
+    # it. Gate the compiled path against the exact jnp tier at the f32
+    # fast-math ladder: normalized inf-norm on the non-p fields (p crosses
+    # zero at the impact interface, same exclusion as the golden gates).
+    def run_tier(tier, **kw):
+        p = ArmonParameters(test="Bizarrium", N=(100, 100),
+                            data_type=np.float32, maxcycle=1000, silent=5,
+                            measure_time=False, return_data=True,
+                            kernel_tier=tier, **kw)
+        stats = armon(p)
+        host = gather_state(p, stats.data)
+        g = p.nghost
+        return stats.cycles, {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                              for v in ("rho", "u", "v", "E")}
+
+    cyc_b, b = run_tier("jnp")
+    for label, kw in (("pair kernel", {}),
+                      ("per-sweep kernels", {"pair_threshold": 0})):
+        cyc_a, a = run_tier("pallas", **kw)
+        non_p = max(float(np.max(np.abs(a[v] - b[v])) / np.max(np.abs(b[v])))
+                    for v in a)
+        check(f"Bizarrium compiled fast-EOS vs exact jnp tier ({label})",
+              cyc_a == cyc_b and non_p < 5e-3,
+              f"cycles={cyc_a}/{cyc_b} non-p normalized diff={non_p:.2e}")
+
     import bench
     v, el, ran = bench.bench(n=2048, dtype=np.float32, cycles=100)
     check("throughput sanity 2048^2", v > 1.2e9, f"{v:.3e} cells/s")
