@@ -70,10 +70,35 @@ def main():
         else np.float64
     test = os.environ.get("ARMON_BENCH_TEST", "Sod")
 
+    # Watchdog: a wedged device tunnel hangs inside native PJRT init (no
+    # exception, no output, and signals can't preempt the C code). A
+    # daemon thread turns that into the zero-measurement error line
+    # instead of dying silently under the caller's timeout. 2400 s is
+    # far beyond any fresh-compile path (~3 min measured).
+    import threading
+
+    deadline = float(os.environ.get("ARMON_BENCH_TIMEOUT", "2400"))
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(deadline):
+            print(json.dumps({
+                "metric": "cell-updates/sec/chip (%s %dx%d GAD+minmod "
+                          "euler_2nd)" % (test, n, ny),
+                "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0,
+                "error": "no measurement within ARMON_BENCH_TIMEOUT=%.0fs "
+                         "(device tunnel hung?)" % deadline,
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     try:
         value, elapsed, ran = bench(n=n, ny=ny, dtype=dtype, cycles=cycles,
                                     test=test)
+        done.set()
     except Exception as e:  # report failure as a zero measurement
+        done.set()
         print(json.dumps({
             "metric": "cell-updates/sec/chip (%s %dx%d GAD+minmod euler_2nd)"
                       % (test, n, ny),
