@@ -203,3 +203,52 @@ def test_profiler_trace_smoke(tmp_path):
     armon(params)
     prof = tmp_path / "profile"
     assert prof.exists() and any(prof.rglob("*"))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bizarrium_fast_eos_algebra(seed, monkeypatch):
+    """The fast-math Bizarrium EOS restructure (Horner polynomials, folded
+    G, shared 1/rho — `_eos_prc`'s compiled-f32 branch) must be the SAME
+    algebra as the reference-shaped chain: evaluated in f64 with exact
+    reciprocals substituted for the VPU approximations, the two chains
+    agree to ~1 ulp. This pins the polynomial coefficients and factored
+    forms on CPU; the on-chip gate (`scripts/tpu_validate.py`) covers the
+    approximate-reciprocal path end-to-end."""
+    import jax.numpy as jnp
+    from armon_tpu.ops.pallas import sweep as sweep_mod
+
+    # _eos_prc is NOT jitted, so patching the module's pl.reciprocal is
+    # visible (the trace-cache caveat in CLAUDE.md applies to jitted fns).
+    monkeypatch.setattr(sweep_mod.pl, "reciprocal",
+                        lambda x, approx=False: 1.0 / x)
+
+    def div(a, b):  # any non-_EXACT_DIV callable selects the fast branch
+        return a / b
+
+    params = reference_params("Bizarrium", np.float64, N=(40, 40))
+    cfg = params.config
+    rng = np.random.default_rng(seed)
+    shape = (32, 32)
+    T = np.float64
+    # rho around the 10000 kg/m^3 reference density, incl. strong
+    # compression/expansion; E dominated by the ~e5 internal energy scale.
+    rho = jnp.asarray(rng.uniform(6500.0, 16000.0, shape))
+    u = jnp.asarray(rng.uniform(-800.0, 800.0, shape))
+    v = jnp.asarray(rng.uniform(-800.0, 800.0, shape))
+    E = jnp.asarray(rng.uniform(3.0e5, 9.0e5, shape))
+
+    p1, rc1, c1 = sweep_mod._eos_prc(cfg, T, rho, u, v, E, div, need_c=True)
+    p2, rc2, c2 = sweep_mod._eos_prc(cfg, T, rho, u, v, E, div, need_c=True,
+                                     variant="eosref")
+
+    # Some random states are genuinely unphysical (sound speed^2 < 0 in
+    # the stiff EOS -> NaN through the sqrt); both chains must agree on
+    # WHICH, and match to ~1 ulp on the physical rest.
+    fin1, fin2 = (np.isfinite(np.asarray(rc1)), np.isfinite(np.asarray(rc2)))
+    assert (fin1 == fin2).all(), "chains disagree on the physical domain"
+    m = fin1
+    assert m.mean() > 0.5, "random state range mostly unphysical"
+    for name, a, b in (("p", p1, p2), ("rc", rc1, rc2), ("c", c1, c2)):
+        a, b = np.asarray(a)[m], np.asarray(b)[m]
+        rel = np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-300))
+        assert rel < 1e-12, f"fast-EOS algebra diverges on {name}: {rel:.2e}"
