@@ -194,7 +194,7 @@ def fused_cycle_step(cfg, state, pair, dt, cycle_strips=None):
         dt * T(fx), dt * T(fy), n_real=_shard_n_real(cfg),
         in_place=True, interpret=_pallas_interpret(cfg), inline_bc=inline,
         inline_bc_x=inline_x, emit_strips=cycle_strips is not None,
-        strips=cycle_strips)
+        strips=cycle_strips, variant=_SWEEP_VARIANT)
     rho, u, v, E, p_stale, local_min = out[:6]
     strips_out = out[6] if cycle_strips is not None else None
     return (state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min,

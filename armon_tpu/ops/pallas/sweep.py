@@ -1220,6 +1220,7 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
 # ------------------------------------------------- fully-fused cycle kernel
 
 def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x, emit_strips,
+                  variant,
                   dtx_ref, dty_ref, lim_ref,
                   rho_c, rho_a, rho_b, u_c, u_a, u_b,
                   v_c, v_a, v_b, E_c, E_a, E_b,
@@ -1280,17 +1281,19 @@ def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x, emit_strips,
     if x_first:
         rho1, u1, v1, E1, _, _ = _sweep_math(cfg, shx, dtx, T(cfg.dx),
                                              rho, u, v, E, div, need_c=False,
-                                             slope_shift=True)
+                                             slope_shift=True, variant=variant)
         rho2, v2, u2, E2, p_st, c_st = _sweep_math(cfg, shy, dty, T(cfg.dy),
                                                    rho1, v1, u1, E1, div,
-                                                   slope_shift=True)
+                                                   slope_shift=True,
+                                                   variant=variant)
     else:
         rho1, v1, u1, E1, _, _ = _sweep_math(cfg, shy, dty, T(cfg.dy),
                                              rho, v, u, E, div, need_c=False,
-                                             slope_shift=True)
+                                             slope_shift=True, variant=variant)
         rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, shx, dtx, T(cfg.dx),
                                                    rho1, u1, v1, E1, div,
-                                                   slope_shift=True)
+                                                   slope_shift=True,
+                                                   variant=variant)
 
     sl = slice(H, H + chunk)
     rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = \
@@ -1342,10 +1345,11 @@ def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x, emit_strips,
 @functools.partial(jax.jit, static_argnames=("cfg", "x_first",
                                              "in_place", "interpret",
                                              "inline_bc", "inline_bc_x",
-                                             "emit_strips"))
+                                             "emit_strips", "variant"))
 def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
                 in_place=False, interpret=False, inline_bc=False,
-                inline_bc_x=False, emit_strips=False, strips=None):
+                inline_bc_x=False, emit_strips=False, strips=None,
+                variant=""):
     """One full cycle (two sweeps) in a single fused kernel pass — the
     small-grid kernel (one launch per cycle; above `pair_threshold` the
     per-sweep kernels win, see core/step.py routing). BOTH ghost bands
@@ -1440,7 +1444,7 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
         strip_out_shapes = [jax.ShapeDtypeStruct((nci_c * 8, cols),
                                                  cfg.dtype)] * 8
     kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first, interpret,
-                               bc_y, bc_x, emit_strips)
+                               bc_y, bc_x, emit_strips, variant)
     out = pl.pallas_call(
         kernel,
         grid=grid,
