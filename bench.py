@@ -20,9 +20,17 @@ BASELINE = 5e9  # cell-updates/s/chip target (BASELINE.md)
 
 
 def bench(n=8192, dtype=np.float32, cycles=50, tier=None, ny=None,
-          test="Sod"):
+          test="Sod", init_done=None):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # The axon TPU plugin overrides JAX_PLATFORMS; this knob still wins
+    # (CPU smoke tests of the bench harness itself).
+    plat = os.environ.get("ARMON_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.devices()  # force PJRT init (the tunnel-hang point)
+    if init_done is not None:
+        init_done.set()
     if np.dtype(dtype).itemsize == 8:
         jax.config.update("jax_enable_x64", True)
     from armon_tpu import ArmonParameters
@@ -60,6 +68,41 @@ def bench(n=8192, dtype=np.float32, cycles=50, tier=None, ny=None,
 
 
 def main():
+    # Retry harness: PJRT init is once-per-process, so a wedged device
+    # tunnel can only be retried from a FRESH process. The parent re-execs
+    # itself up to ARMON_BENCH_ATTEMPTS times (default 3) and forwards the
+    # child's single JSON line; children that hang are cut short by the
+    # init watchdog below. Behavior with a healthy tunnel is unchanged
+    # (first child succeeds, one line on stdout).
+    if os.environ.get("ARMON_BENCH_CHILD") != "1":
+        import subprocess
+
+        attempts = max(1, int(os.environ.get("ARMON_BENCH_ATTEMPTS", "3")))
+        retry_wait = float(os.environ.get("ARMON_BENCH_RETRY_WAIT", "30"))
+        env = dict(os.environ, ARMON_BENCH_CHILD="1")
+        last = None
+        for i in range(attempts):
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True)
+            line = next((ln for ln in reversed(proc.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            last = line or last
+            if line is not None and '"error"' not in line:
+                print(line, flush=True)
+                return
+            sys.stderr.write("# bench attempt %d/%d failed: %s\n" % (
+                i + 1, attempts,
+                line or (proc.stderr or "no output")[-300:].replace("\n", " ")))
+            sys.stderr.flush()
+            if i + 1 < attempts:
+                time.sleep(retry_wait)
+        print(last or json.dumps({
+            "metric": "cell-updates/sec/chip",
+            "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0,
+            "error": "all %d bench attempts died without output" % attempts,
+        }), flush=True)
+        return
+
     n = int(os.environ.get("ARMON_BENCH_N", "8192"))
     ny = int(os.environ.get("ARMON_BENCH_NY", "0")) or n
     # 150 cycles ~ 2.2 s/run at the headline size: the per-dispatch tunnel
@@ -73,29 +116,43 @@ def main():
     # Watchdog: a wedged device tunnel hangs inside native PJRT init (no
     # exception, no output, and signals can't preempt the C code). A
     # daemon thread turns that into the zero-measurement error line
-    # instead of dying silently under the caller's timeout. 2400 s is
-    # far beyond any fresh-compile path (~3 min measured).
+    # instead of dying silently under the caller's timeout — which also
+    # lets the parent retry with a fresh process. Two deadlines: device
+    # enumeration must finish within ARMON_BENCH_INIT_TIMEOUT (240 s —
+    # init is seconds when healthy; only compiles take minutes), the
+    # whole run within ARMON_BENCH_TIMEOUT (2400 s, far beyond any
+    # fresh-compile path, ~3 min measured).
     import threading
 
     deadline = float(os.environ.get("ARMON_BENCH_TIMEOUT", "2400"))
+    init_deadline = float(os.environ.get("ARMON_BENCH_INIT_TIMEOUT", "240"))
     done = threading.Event()
+    init_done = threading.Event()
+
+    def _fail(msg):
+        print(json.dumps({
+            "metric": "cell-updates/sec/chip (%s %dx%d GAD+minmod "
+                      "euler_2nd)" % (test, n, ny),
+            "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0,
+            "error": msg,
+        }), flush=True)
+        os._exit(2)
 
     def _watchdog():
-        if not done.wait(deadline):
-            print(json.dumps({
-                "metric": "cell-updates/sec/chip (%s %dx%d GAD+minmod "
-                          "euler_2nd)" % (test, n, ny),
-                "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0,
-                "error": "no measurement within ARMON_BENCH_TIMEOUT=%.0fs "
-                         "(device tunnel hung?)" % deadline,
-            }), flush=True)
-            os._exit(2)
+        t0 = time.monotonic()
+        if not init_done.wait(init_deadline):
+            _fail("device init hung for ARMON_BENCH_INIT_TIMEOUT=%.0fs "
+                  "(device tunnel dead?)" % init_deadline)
+        remaining = deadline - (time.monotonic() - t0)
+        if not done.wait(max(remaining, 1.0)):
+            _fail("no measurement within ARMON_BENCH_TIMEOUT=%.0fs "
+                  "(device tunnel hung?)" % deadline)
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
     try:
         value, elapsed, ran = bench(n=n, ny=ny, dtype=dtype, cycles=cycles,
-                                    test=test)
+                                    test=test, init_done=init_done)
         done.set()
     except Exception as e:  # report failure as a zero measurement
         done.set()
