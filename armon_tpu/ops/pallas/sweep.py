@@ -580,7 +580,13 @@ def cycle_strip_plan(cfg, shape):
                              getattr(cfg, "block_size", None))
     nci = -(-rows // chunk)
     tail = rows - (nci - 1) * chunk
-    if nci >= 2 and tail < 8:
+    # Strips are emitted from the kernel's OUTPUT rows, before the next
+    # cycle's ghost fill: the tail tile's first 4 consumed below-strip
+    # rows must be real cells, not the hi ghost band whose in-kernel
+    # values are dead garbage (same analysis as `strip_emission_plan` —
+    # tail >= nghost + 4; tail >= 8 keeps the strip write itself whole).
+    # With tail < that, fall back to the per-cycle XLA strip assembly.
+    if nci >= 2 and tail < max(8, cfg.nghost + 4):
         return None
     return (chunk, nci)
 

@@ -258,6 +258,47 @@ def test_cycle_strip_carry_bitwise():
         assert (a == b).all(), var
 
 
+def test_cycle_strip_plan_short_tail_nghost8():
+    """Deep-ghost guard on the strip carry: with nghost=8 and a chunk plan
+    whose tail tile is 8 rows, the tail's first 4 consumed strip rows fall
+    inside the hi ghost band (in-kernel values there are dead garbage, and
+    the carried strips predate the next ghost fill) — cycle_strip_plan
+    must refuse the carry, and the fused tier must still match the jnp
+    tier. Regression for the round-3 review finding (tail guard was
+    `tail < 8`, baking in nghost<=4: diverged at 7e-7 on the last real
+    row)."""
+    from armon_tpu.core.solver import make_jit_loop
+    from armon_tpu.ops.pallas.sweep import cycle_strip_plan
+
+    kw = dict(N=(504, 504), nghost=8, block_size=(504, 64), maxcycle=30)
+    params = reference_params("Sod_circ", np.float64, kernel_tier="pallas",
+                              **kw)
+    cfg = params.config
+    # The geometry this test exists for: multi-chunk with an 8-row tail.
+    from armon_tpu.parallel.blocking import cycle_chunk_rows
+    rows, cols = cfg.local_shape
+    chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize,
+                             cfg.block_size)
+    nci = -(-rows // chunk)
+    assert nci >= 2 and rows - (nci - 1) * chunk == 8
+    assert cycle_strip_plan(cfg, cfg.local_shape) is None
+
+    def run(p):
+        state = make_init(p)()
+        state, t, cycles, dt, lm, ok = make_jit_loop(p)(state)
+        assert bool(ok)
+        return gather_state(p, state), float(dt)
+
+    h1, d1 = run(reference_params("Sod_circ", np.float64, **kw))
+    h2, d2 = run(params)
+    assert abs(d1 - d2) <= 4e-16 * abs(d1)
+    g = 8
+    for var in ("rho", "u", "v", "E"):
+        a = np.asarray(getattr(h1, var))[g:-g, g:-g]
+        b = np.asarray(getattr(h2, var))[g:-g, g:-g]
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-13), var
+
+
 @pytest.mark.parametrize("N", [(64, 52), (100, 101), (48, 44)],
                          ids=lambda n: f"{n[0]}x{n[1]}")
 def test_pallas_ragged_heights(N):
