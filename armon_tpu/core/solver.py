@@ -38,7 +38,7 @@ from ..ops.projection import projection_remap
 from ..ops.reductions import conservation_vars
 from .step import make_time_loop, solver_cycle, ghost_exchange
 from .splitting import split_schedules
-from .timestep import next_time_step
+from .timestep import next_time_step, dt_update
 
 
 @dataclass
@@ -220,6 +220,28 @@ def _build_cycle(params):
                   out_specs=(state_spec, rep, rep, rep))
 
 
+def _make_resume_cycle(params):
+    """jnp-tier cycle with an lm-override input: the FIRST cycle resumed
+    from a fused-tier checkpoint, whose saved state carries a stale sound
+    speed — the saved CFL carry replaces the state reduction for that one
+    cycle (see `step.solver_cycle`)."""
+    cfg = params.config
+
+    def build():
+        def cycle(state, dt_prev, cycle_idx, lm):
+            return solver_cycle(cfg, state, dt_prev, cycle_idx,
+                                lm_override=lm)
+
+        if not cfg.spmd:
+            return jax.jit(cycle)
+        _, state_spec, rep = _mesh_and_specs(params)
+        return _shard(params, cycle,
+                      in_specs=(state_spec, rep, rep, rep),
+                      out_specs=(state_spec, rep, rep, rep))
+
+    return _cached(params, "resume_cycle", build)
+
+
 # ------------------------------------------------------------------ drivers
 
 def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
@@ -261,6 +283,9 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
 
     from .step import use_fused_tier
     fused = use_fused_tier(cfg) and checkpoint is None
+    # Non-fused resume from a fused-tier checkpoint: the saved CFL carry
+    # overrides the first cycle's state reduction (state.c is stale).
+    resume_lm = None if fused else local_min
     if fused and local_min is None:
         from ..ops.reductions import dt_cfl_min
         from jax import lax
@@ -284,10 +309,18 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
             state, dt_use, dt_next, local_min, ok = cycle_fn(
                 state, dt_prev, np.int32(cycles), local_min)
         elif checkpoint is None:
-            state, dt_use, dt_next, ok = cycle_fn(state, dt_prev, np.int32(cycles))
+            if resume_lm is not None:
+                state, dt_use, dt_next, ok = _make_resume_cycle(params)(
+                    state, dt_prev, np.int32(cycles), T(resume_lm))
+                resume_lm = None
+            else:
+                state, dt_use, dt_next, ok = cycle_fn(state, dt_prev,
+                                                      np.int32(cycles))
         else:
             state, dt_use, dt_next, ok, stop = _checkpointed_cycle(
-                params, step_fns, state, dt_prev, cycles, checkpoint)
+                params, step_fns, state, dt_prev, cycles, checkpoint,
+                lm_override=resume_lm)
+            resume_lm = None
             if stop:
                 return state, float(t), cycles, float(dt_next)
         if not bool(ok):
@@ -333,6 +366,11 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
                 write_state_file(cfg, gather_state(params, state), path,
                                  precision=params.output_precision)
 
+    if fused and local_min is not None:
+        # Keep the run's CFL carry available for tier-neutral checkpoint
+        # saves after the run (io/restart._scalars) — the jit driver's
+        # `params._final_local_min` analog.
+        params._final_local_min = float(np.asarray(local_min))
     return state, float(t), cycles, float(dt_prev)
 
 
@@ -355,6 +393,9 @@ def _make_step_fns(params):
             fns[("remap", axis)] = jax.jit(
                 lambda s, dt, a=axis: projection_remap(cfg, s, a, dt))
         fns["dt"] = jax.jit(lambda s, dtp, cyc: next_time_step(cfg, s, dtp, cyc))
+        fns["dt_resume"] = jax.jit(
+            lambda s, dtp, cyc, lm: dt_update(cfg, lm, dtp, cyc,
+                                              reduce=False))
         return fns
 
     _, sspec, rep = _mesh_and_specs(params)
@@ -377,15 +418,27 @@ def _make_step_fns(params):
     fns["dt"] = _shard(params,
                        lambda s, dtp, cyc: next_time_step(cfg, s, dtp, cyc),
                        in_specs=(sspec, rep, rep), out_specs=(rep, rep, rep))
+    fns["dt_resume"] = _shard(
+        params,
+        lambda s, dtp, cyc, lm: dt_update(cfg, lm, dtp, cyc, reduce=False),
+        in_specs=(sspec, rep, rep, rep), out_specs=(rep, rep, rep))
     return fns
 
 
-def _checkpointed_cycle(params, fns, state, dt_prev, cycle_idx, checkpoint):
+def _checkpointed_cycle(params, fns, state, dt_prev, cycle_idx, checkpoint,
+                        lm_override=None):
     """`solver_cycle` with a checkpoint after every sub-step
-    (`src/solver.jl:288-320`)."""
+    (`src/solver.jl:288-320`). `lm_override`: saved CFL carry replacing
+    the state reduction on the first cycle resumed from a fused-tier
+    checkpoint (stale `state.c` — see `step.solver_cycle`)."""
     cfg = params.config
     T = cfg.dtype.type
-    dt_use, dt_next, ok = fns["dt"](state, dt_prev, np.int32(cycle_idx))
+    if lm_override is not None:
+        dt_use, dt_next, ok = fns["dt_resume"](state, dt_prev,
+                                               np.int32(cycle_idx),
+                                               T(lm_override))
+    else:
+        dt_use, dt_next, ok = fns["dt"](state, dt_prev, np.int32(cycle_idx))
     if checkpoint("time_step", state, Axis.X, float(dt_use), cycle_idx):
         return state, dt_use, dt_next, ok, True
 
@@ -458,12 +511,20 @@ def measure_sections(params, state, reps=3):
             return _shard(params, f, in_specs=specs,
                           out_specs=(sspec, rep))
 
+        def sweep_probe(s, d, a):
+            out, lm = fused_sweep_step(cfg, s, a, d)[:2]
+            if cfg.spmd:
+                # The per-shard minimum must be reduced before the
+                # replicated out_spec claims it is mesh-uniform.
+                from jax import lax
+                lm = lax.pmin(lm, axis_name=cfg.axis_names)
+            return out, lm
+
         for axis in (Axis.X, Axis.Y):
             ex = build(lambda s, a=axis: (ghost_exchange(
                 cfg, s, a, FUSED_EXCHANGE_VARS), jnp.zeros(())), 1)
             sections[f"ghost_exchange_{axis.name}"] = timeit(ex, state)
-            sw = build(lambda s, d, a=axis: fused_sweep_step(cfg, s, a, d)[:2],
-                       2)
+            sw = build(lambda s, d, a=axis: sweep_probe(s, d, a), 2)
             sections[f"sweep_{axis.name}"] = timeit(sw, state, dt)
     else:
         fns = _make_step_fns(params)
@@ -562,6 +623,10 @@ def armon(params: ArmonParameters, checkpoint=None,
     the run resumes bit-exactly from the saved carry."""
     cfg = params.config
     _ensure_x64(cfg)
+    # This run's fused CFL carry, recorded at the end for tier-neutral
+    # checkpoint saves (io/restart._scalars). Reset so a save after THIS
+    # run can never pick up a previous run's carry on a reused params.
+    params._final_local_min = None
 
     if params.silent < 3:
         print(params.describe())
@@ -582,7 +647,8 @@ def armon(params: ArmonParameters, checkpoint=None,
             state, r_t, r_cycles, r_dt, r_lm = load_checkpoint(
                 restore_from, params)
             restored = (cfg.dtype.type(r_t), np.int32(r_cycles),
-                        cfg.dtype.type(r_dt), r_lm)
+                        cfg.dtype.type(r_dt),
+                        None if r_lm is None else cfg.dtype.type(r_lm))
         else:
             init_fn = make_init(params)
             state = jax.block_until_ready(init_fn())

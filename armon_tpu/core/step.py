@@ -61,9 +61,24 @@ def run_schedule(cfg, state, schedule, dt):
     return state
 
 
-def solver_cycle(cfg, state, dt_prev, cycle):
-    """One full cycle (jnp tier). Returns (state, dt_used, dt_next_carry, ok)."""
+def solver_cycle(cfg, state, dt_prev, cycle, lm_override=None):
+    """One full cycle (jnp tier). Returns (state, dt_used, dt_next_carry, ok).
+
+    `lm_override` (traced scalar or None): an already-reduced CFL minimum
+    to use in place of the state reduction when non-NaN. Purpose: the
+    first cycle resumed from a FUSED-tier checkpoint, whose `state.c` is
+    stale (the fused kernels never write c back — the saved carry holds
+    the correct minimum instead). NaN = no override; from the second
+    resumed cycle on, c has been refreshed by the sweeps' EOS calls and
+    the normal reduction is exact again."""
     dt_use, dt_next, ok = next_time_step(cfg, state, dt_prev, cycle)
+    if lm_override is not None:
+        o_use, o_next, o_ok = dt_update(cfg, lm_override, dt_prev, cycle,
+                                        reduce=False)
+        use = ~jnp.isnan(lm_override)
+        dt_use = jnp.where(use, o_use, dt_use)
+        dt_next = jnp.where(use, o_next, dt_next)
+        ok = jnp.where(use, o_ok, ok)
     even, odd = split_schedules(cfg.splitting)
     if even == odd:
         state = run_schedule(cfg, state, even, dt_use)
@@ -342,6 +357,21 @@ def make_time_loop(cfg, restore=False):
                                        cycle_strips=strips)
                 return (fs, strips, t + dt_use, cycle + 1, dt_next,
                         local_min, ok)
+        elif restore:
+            # Restored-run variant: the carry threads an lm override that
+            # is live for the FIRST cycle only (non-NaN when the
+            # checkpoint came from the fused tier, whose saved state
+            # carries a stale c — see solver_cycle) and NaN afterwards.
+            def cond(carry):
+                _, t, cycle, _, _, ok = carry
+                return (t < maxtime) & (cycle < maxcycle) & ok
+
+            def body(carry):
+                state, t, cycle, dt_prev, lmo, _ = carry
+                state, dt_use, dt_next, ok = solver_cycle(
+                    cfg, state, dt_prev, cycle, lm_override=lmo)
+                return (state, t + dt_use, cycle + 1, dt_next,
+                        jnp.asarray(T(np.nan)), ok)
         else:
             def cond(carry):
                 _, t, cycle, _, ok = carry
@@ -384,14 +414,26 @@ def make_time_loop(cfg, restore=False):
                                                                carry)
             state = state._replace(rho=fs.rho, u=fs.u, v=fs.v, E=fs.E, p=fs.p)
         else:
-            carry = (state, t0, cycle0, dt0, jnp.asarray(True))
-            state, t, cycles, dt_last, ok = lax.while_loop(cond, body, carry)
+            if restore:
+                lm_in = jnp.asarray(T(np.nan)) if lm0 is None else lm0
+                carry = (state, t0, cycle0, dt0, lm_in, jnp.asarray(True))
+                state, t, cycles, dt_last, _, ok = lax.while_loop(cond, body,
+                                                                  carry)
+            else:
+                carry = (state, t0, cycle0, dt0, jnp.asarray(True))
+                state, t, cycles, dt_last, ok = lax.while_loop(cond, body,
+                                                               carry)
             # The equivalent of the fused tier's carried CFL min: the jnp
             # tier recomputes it from the (stale) sound speed at cycle start,
             # which is exactly what the final state holds.
             from ..ops.reductions import dt_cfl_min
             lm = dt_cfl_min(cfg, state) if not cfg.cst_dt \
                 else jnp.asarray(T(np.finfo(cfg.dtype).max))
+            if cfg.spmd and not cfg.cst_dt:
+                # Reduce before the replication claim in the shard_map
+                # out_specs — and so a saved checkpoint carries the GLOBAL
+                # minimum (the fused tier treats it as already reduced).
+                lm = lax.pmin(lm, axis_name=cfg.axis_names)
         return state, t, cycles, dt_last, lm, ok
 
     return loop

@@ -27,6 +27,16 @@ Two layouts:
 
 `load_checkpoint` auto-detects the layout on disk.
 
+Checkpoints are TIER-NEUTRAL: a snapshot saved from either kernel tier
+resumes in either tier. The subtlety is the sound speed — the fused
+kernels never write `c` back (it is recomputed in-kernel), so a
+fused-tier snapshot carries a stale `c` plus the CORRECT carried CFL
+minimum (`__local_min`); the jnp tier uses that carry for its first
+resumed cycle (`core.step.solver_cycle(lm_override=...)`) and recomputes
+from the by-then-refreshed `c` afterwards. jnp-tier snapshots store
+`__local_min = NaN` ("restore from c"), which the fused tier reseeds
+exactly like a fresh start.
+
 Periodic saving: ``checkpoint_step=N`` writes `<output_file>.ckpt.npz`
 every N cycles (forces the per-cycle driver); sharded runs with `use_MPI`
 write the per-shard layout, mirroring the distributed-output rule.
@@ -57,8 +67,16 @@ def _shard_ckpt_path(path, coords):
     return f"{base}_{coords[0]}×{coords[1]}.npz"
 
 
+# "Argument not given" marker for save_checkpoint's local_min: passing
+# None EXPLICITLY means "no carry" (jnp tier, saved as NaN), while omitting
+# it falls back to the carry armon() recorded for THIS run (reset at every
+# armon() start, so a reused params object can never leak a previous run's
+# value into a later save).
+_UNSET = object()
+
+
 def _scalars(params, t, cycles, dt_prev, local_min):
-    if local_min is None:
+    if local_min is _UNSET:
         local_min = getattr(params, "_final_local_min", None)
     return dict(
         __fingerprint=np.array(_fingerprint(params)),
@@ -68,13 +86,14 @@ def _scalars(params, t, cycles, dt_prev, local_min):
     )
 
 
-def save_checkpoint(path, params, state, t, cycles, dt_prev, local_min=None,
-                    per_shard=None):
+def save_checkpoint(path, params, state, t, cycles, dt_prev,
+                    local_min=_UNSET, per_shard=None):
     """Write an exact snapshot. `local_min` is the fused tier's carried CFL
-    minimum; when omitted it is taken from the params' last jit-loop run if
-    available. `per_shard=None` (auto) selects the no-gather per-shard
-    layout for sharded runs with `use_MPI` (the distributed-output rule);
-    True/False force it."""
+    minimum; when omitted it is taken from the run the params object just
+    completed (None = no carry: the jnp tier restores it from `state.c`).
+    `per_shard=None` (auto) selects the no-gather per-shard layout for
+    sharded runs with `use_MPI` (the distributed-output rule); True/False
+    force it."""
     cfg = params.config
     if per_shard is None:
         per_shard = cfg.spmd and params.use_MPI

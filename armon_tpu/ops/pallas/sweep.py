@@ -100,12 +100,6 @@ def _limiter(name, r):
                        jnp.minimum(r, 2.0))
 
 
-def _eos(cfg, T, rho, u, v, E, div=None):
-    """Returns (p, c). Same expressions as armon_tpu.ops.eos."""
-    p, rc, c = _eos_prc(cfg, T, rho, u, v, E, div, need_c=True)
-    return p, c
-
-
 def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True, variant=""):
     """Returns (p, rho*c, c). The acoustic impedance rho*c is what the
     Riemann solve and theta-blend actually consume (`src/riemann_schemes.jl:

@@ -48,6 +48,62 @@ def test_resume_bit_exact(tier, tmp_path):
         assert np.array_equal(x, y), var
 
 
+def test_resume_cross_tier_fused_to_jnp(tmp_path):
+    """A checkpoint saved from a FUSED-tier run restores correctly into a
+    jnp-tier run: the fused kernels never write the sound speed back, so
+    the saved `state.c` is the cycle-0 EOS value — the first resumed
+    cycle's dt must come from the saved CFL carry, not a reduction over
+    the stale c. Regression for the round-3 review finding (pre-fix:
+    last_dt off by 1e-5 relative, max|u| diff 2e-2 vs the uninterrupted
+    run; tier-equivalence noise is ~1e-12)."""
+    ref_params, ref = full_run("Sod_circ", 20, kernel_tier="pallas")
+
+    p1, s1 = full_run("Sod_circ", 8, kernel_tier="pallas")
+    ckpt = tmp_path / "x.ckpt.npz"
+    save_checkpoint(ckpt, p1, s1.data, s1.final_time, s1.cycles, s1.last_dt)
+    _, _, _, _, lm = load_checkpoint(ckpt, p1)
+    assert lm is not None  # the fused carry rode along
+
+    p2 = reference_params("Sod_circ", np.float64, maxcycle=20,
+                          return_data=True, kernel_tier="jnp")
+    s2 = armon(p2, restore_from=str(ckpt))
+    assert s2.cycles == ref.cycles
+    assert abs(s2.last_dt - ref.last_dt) <= 1e-11 * abs(ref.last_dt)
+    a = gather_state(ref_params, ref.data)
+    b = gather_state(p2, s2.data)
+    g = ref_params.nghost
+    for var in ("rho", "u", "v", "E"):
+        x = getattr(a, var)[g:-g, g:-g]
+        y = getattr(b, var)[g:-g, g:-g]
+        assert np.allclose(x, y, rtol=1e-10, atol=1e-12), var
+
+
+def test_explicit_none_local_min_means_no_carry(tmp_path):
+    """save_checkpoint(local_min=None) must record "no carry" (NaN), not
+    silently fall back to a carry recorded by an earlier run on the same
+    params object (stale-fallback regression, round-3 review)."""
+    p1, s1 = full_run("Sod", 4, kernel_tier="pallas")
+    assert getattr(p1, "_final_local_min", None) is not None
+    ckpt = tmp_path / "n.ckpt.npz"
+    save_checkpoint(ckpt, p1, s1.data, s1.final_time, s1.cycles, s1.last_dt,
+                    local_min=None)
+    _, _, _, _, lm = load_checkpoint(ckpt, p1)
+    assert lm is None
+
+
+def test_final_local_min_reset_between_runs(tmp_path):
+    """armon() resets the recorded carry at run start: a jnp python-driver
+    checkpoint written after a previous (unrelated) run on the same params
+    object must not inherit that run's carry."""
+    params = reference_params("Sod", np.float64, maxcycle=4,
+                              checkpoint_step=2, kernel_tier="jnp",
+                              output_dir=str(tmp_path), output_file="run")
+    params._final_local_min = 123.0  # an earlier run's leftover
+    armon(params)
+    _, _, _, _, lm = load_checkpoint(tmp_path / "run.ckpt.npz", params)
+    assert lm is None  # jnp tier restores its carry from state.c
+
+
 def test_checkpoint_step_option(tmp_path):
     params = reference_params("Sod", np.float64, maxcycle=6,
                               checkpoint_step=2, output_dir=str(tmp_path),
