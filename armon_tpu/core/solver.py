@@ -96,7 +96,8 @@ def _mesh_and_specs(params):
     from ..parallel.mesh import make_mesh, shard_state_spec
     from jax.sharding import PartitionSpec as P
     cfg = params.config
-    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices)
+    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices,
+                     reorder=params.reorder_grid)
     spec = shard_state_spec(cfg.axis_names)
     state_spec = State(*([spec] * len(State._fields)))
     return mesh, state_spec, P()
@@ -892,7 +893,8 @@ def host_to_device(params, state_host: State) -> State:
 
     from jax.sharding import NamedSharding
     from ..parallel.mesh import make_mesh, shard_state_spec
-    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices)
+    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices,
+                     reorder=params.reorder_grid)
     sharding = NamedSharding(mesh, shard_state_spec(cfg.axis_names))
     lr, lc = cfg.local_shape
     px, py = cfg.proc_dims

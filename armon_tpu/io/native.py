@@ -24,11 +24,15 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.join(_DIR, "libarmon_io.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # Always invoke make (a no-op when fresh): the Makefile tracks the
+    # armon_io.cc dependency, so source edits rebuild instead of silently
+    # loading a stale committed .so. Only a FAILED build with no prior
+    # library disables the native tier.
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(so):
             return None
     try:
         lib = ctypes.CDLL(so)
@@ -65,6 +69,9 @@ def write_cells(path, arrays, precision, for_3d=True, header=None) -> bool:
         return False
     arrs = [np.ascontiguousarray(a, dtype=np.float64) for a in arrays]
     rows, cols = arrs[0].shape
+    if any(a.shape != (rows, cols) for a in arrs[1:]):
+        raise ValueError("write_cells: mismatched variable shapes "
+                         f"{[a.shape for a in arrs]}")
     ptrs = (ctypes.c_void_p * len(arrs))(
         *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrs])
     rc = lib.armon_write_cells(
@@ -95,6 +102,12 @@ def count_differences(ref, ours, atol, rtol):
     lib = _load()
     if lib is None:
         return None
+    if np.shape(ref) != np.shape(ours):
+        # The C loop reads ours[i] for i < ref.size: a size mismatch would
+        # be an out-of-bounds read, and a same-size shape mismatch a
+        # silent misaligned compare (the numpy fallback would raise).
+        raise ValueError(f"count_differences: shape mismatch "
+                         f"{np.shape(ref)} vs {np.shape(ours)}")
     a = np.ascontiguousarray(ref, np.float64).ravel()
     b = np.ascontiguousarray(ours, np.float64).ravel()
     mr = ctypes.c_double(0.0)

@@ -126,9 +126,11 @@ def _reshape_vars(cfg, data, with_ghosts):
 
 def count_differences(cfg, ours: dict, ref: dict, atol, rtol):
     """(diff_count, max_rel_diff) over the saved vars, the gate used by the
-    golden regression (`reference_functions.jl:69-121`): a cell differs when
-    ``|ref - ours| > atol + rtol*|ref|`` (isapprox semantics), and the
-    max relative diff only counts differing cells."""
+    golden regression (`reference_functions.jl:69-121`): a cell differs
+    when ``|ref - ours| > max(atol, rtol * max(|ref|, |ours|))`` (Julia
+    isapprox semantics), and the max relative diff — ``|ref - ours| /
+    max(|ref|, 5e-324)`` — only counts differing cells. The native and
+    numpy paths use the same formulas bit-for-bit."""
     from . import native
     total = 0
     max_diff = 0.0
@@ -150,8 +152,11 @@ def count_differences(cfg, ours: dict, ref: dict, atol, rtol):
         mask = err > tol
         cnt = int(mask.sum())
         if cnt:
-            denom = np.where(a == 0, np.finfo(a.dtype).tiny, a)
-            rel = np.abs((a - b) / denom) * mask
+            # Same zero guard as the native path (smallest subnormal:
+            # 5e-324 for f64, the C constant), so the reported max_rel is
+            # machine-independent of which path ran
+            denom = np.maximum(np.abs(a), np.finfo(a.dtype).smallest_subnormal)
+            rel = (err / denom) * mask
             m = float(rel.max())
             max_diff = max(max_diff, m)
             details[var] = (cnt, m)

@@ -154,7 +154,8 @@ def _load_per_shard(path, params):
     cfg = params.config
     if not cfg.spmd:
         solver_error("config", f"checkpoint {path} not found")
-    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices)
+    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices,
+                     reorder=params.reorder_grid)
     sharding = NamedSharding(mesh, shard_state_spec(cfg.axis_names))
     lr, lc = cfg.local_shape
     px, py = cfg.proc_dims

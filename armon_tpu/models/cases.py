@@ -179,18 +179,26 @@ class Sedov(TestCase):
     def from_cell_size(cls, dx, dy, dtype=None):
         import numpy as np
         T = np.dtype(dtype if dtype is not None else np.float64).type
-        # hypot in T, then /sqrt(2) in f64, converted to T — the reference's
-        # `r_Sedov::T = hypot(Δx...) / sqrt(2)` (src/tests.jl:15-19)
-        return cls(float(np.hypot(T(dx), T(dy)) / math.sqrt(2.0)), dtype)
+        # hypot in T, then /sqrt(2) in f64, converted once to T — the
+        # reference's `r_Sedov::T = hypot(Δx...) / sqrt(2)` (src/tests.jl:
+        # 15-19; Julia promotes Float32/Float64 to Float64 before the `::T`
+        # conversion). float() forces the divide into f64 — NumPy's weak
+        # scalar promotion would otherwise keep `float32 / python-float`
+        # in f32 and shift r by 1 ulp on ~15% of grid sizes.
+        return cls(float(np.hypot(T(dx), T(dy))) / math.sqrt(2.0), dtype)
 
     def init_params(self):
         # E such that the blast wave reaches r=1 at t=1 (src/tests.jl:114);
         # pi converts to T before the product, as Julia's Irrational does.
         import numpy as np
         T = self.dtype.type
+        # Denominator in T (Julia: Irrational pi promotes to T, r^2 in T),
+        # the division in f64 (Julia: Float64 / Float32 -> Float64), one
+        # final rounding to T at use — float() forces the f64 divide that
+        # NumPy's weak scalar promotion would otherwise do in f32.
         return InitTwoState(
             high_rho=1.0, low_rho=1.0,
-            high_E=float((1.0 / 1.033) ** 5 / (T(math.pi) * self.r ** 2)),
+            high_E=(1.0 / 1.033) ** 5 / float(T(math.pi) * self.r ** 2),
             low_E=2.5e-14,
             high_u=0.0, low_u=0.0, high_v=0.0, low_v=0.0,
         )

@@ -14,6 +14,32 @@
 #include <cstdlib>
 #include <cstring>
 
+#include <locale.h>
+
+// The format contract is byte-identical C-locale output ('.' decimal
+// separator) and C-locale strtod parsing, regardless of what LC_NUMERIC
+// the host Python process has set (any library calling
+// locale.setlocale(LC_ALL, "") under e.g. de_DE would otherwise make
+// fprintf emit ',' decimals — colliding with the field separator — and
+// make strtod stop at '.'). RAII guard: pin the calling thread to the C
+// locale for the duration of each entry point.
+namespace {
+struct CLocaleGuard {
+    locale_t c_loc;
+    locale_t old_loc;
+    CLocaleGuard() {
+        c_loc = newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+        old_loc = c_loc ? uselocale(c_loc) : (locale_t)0;
+    }
+    ~CLocaleGuard() {
+        if (c_loc) {
+            uselocale(old_loc);
+            freelocale(c_loc);
+        }
+    }
+};
+}  // namespace
+
 extern "C" {
 
 // Write `rows x cols` cells of `nvars` row-major (rows, cols) double arrays
@@ -22,6 +48,7 @@ extern "C" {
 int armon_write_cells(const char* path, const double** vars, long nvars,
                       long rows, long cols, int precision, int for_3d,
                       const char* header) {
+    CLocaleGuard loc;
     FILE* f = fopen(path, "w");
     if (!f) return -1;
     // Large stdio buffer: the format is ~25 bytes per field.
@@ -46,8 +73,11 @@ int armon_write_cells(const char* path, const double** vars, long nvars,
             fputc('\n', f);
         }
     }
+    // Most bytes sit in the 4 MiB stdio buffer until fclose() flushes:
+    // a disk-full/quota error often ONLY surfaces there, so its return
+    // value must be part of the success check.
     int err = ferror(f);
-    fclose(f);
+    if (fclose(f) != 0) err = 1;
     return err ? -2 : 0;
 }
 
@@ -57,6 +87,7 @@ int armon_write_cells(const char* path, const double** vars, long nvars,
 // error / overflow.
 long armon_read_cells(const char* path, double* out, long max_vals,
                       long skip_lines) {
+    CLocaleGuard loc;
     FILE* f = fopen(path, "r");
     if (!f) return -1;
     setvbuf(f, nullptr, _IOFBF, 1 << 22);
@@ -65,6 +96,14 @@ long armon_read_cells(const char* path, double* out, long max_vals,
     long n = 0;
     long lineno = 0;
     while (fgets(line, sizeof(line), f)) {
+        // A line longer than the buffer would be delivered in chunks and
+        // a number straddling the boundary silently parsed as two values:
+        // reject instead (state lines are ~25 bytes/field * nvars).
+        size_t len = strlen(line);
+        if (len == sizeof(line) - 1 && line[len - 1] != '\n') {
+            fclose(f);
+            return -3;
+        }
         lineno++;
         if (lineno <= skip_lines) continue;
         const char* p = line;

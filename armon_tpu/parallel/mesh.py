@@ -19,9 +19,13 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def make_mesh(proc_dims, axis_names=("px", "py"), devices=None):
+def make_mesh(proc_dims, axis_names=("px", "py"), devices=None, reorder=True):
     """Build a (px, py) mesh. Mirrors `MPI.Cart_create` + reorder
-    (`src/parameters.jl:432-448`)."""
+    (`src/parameters.jl:432-448`): `reorder=True` (the `reorder_grid`
+    default) lets `mesh_utils.create_device_mesh` pick an ICI-friendly
+    device order; `reorder=False` keeps the given device order verbatim —
+    the MPI `reorder=false` rank-placement semantics, and the only way a
+    user-pinned `devices=[...]` order is guaranteed to survive."""
     px, py = proc_dims
     if devices is None:
         devices = jax.devices()
@@ -30,11 +34,14 @@ def make_mesh(proc_dims, axis_names=("px", "py"), devices=None):
         from ..utils.errors import solver_error
         solver_error("config",
                      f"mesh {px}x{py} needs {n} devices, have {len(devices)}")
-    try:
-        from jax.experimental import mesh_utils
-        dev_array = mesh_utils.create_device_mesh((py, px),
-                                                  devices=devices[:n])
-    except Exception:
+    if reorder:
+        try:
+            from jax.experimental import mesh_utils
+            dev_array = mesh_utils.create_device_mesh((py, px),
+                                                      devices=devices[:n])
+        except Exception:
+            dev_array = np.asarray(devices[:n]).reshape(py, px)
+    else:
         dev_array = np.asarray(devices[:n]).reshape(py, px)
     # Mesh axes ordered (py, px) to match the (rows, cols) array layout.
     return Mesh(dev_array, (axis_names[1], axis_names[0]))

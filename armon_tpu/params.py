@@ -218,9 +218,15 @@ class ArmonParameters:
         Any (N, P) is accepted like the reference. XLA shards must be
         uniform, so every shard is padded to n_local = ceil(N/P) real cells
         and the hi-edge shard owns the short remainder (n_edge); its slack
-        cells are dead by the padded-array design. (The reference instead
-        gives the LONG remainder to the edge rank with floor splits — the
-        global cell assignment is identical, only the partition differs.)"""
+        cells are dead by the padded-array design. NOTE the partition
+        boundaries differ from the reference, which floor-splits and gives
+        the edge rank the LONG remainder: N=10, P=4 yields per-rank cell
+        ranges [0,3)[3,6)[6,9)[9,10) here vs [0,2)[2,4)[4,6)[6,10) there.
+        Global results are identical, but a per-shard `_<cx>×<cy>` file
+        (output/checkpoint) covers a different window than the same-named
+        file from a reference MPI run — compare per-shard artifacts
+        against the GLOBAL golden via the windowed readers
+        (io/subdomain.py), never file-by-file against Julia MPI output."""
         self.global_grid = self.N
         px, py = self.P
         nx, ny = self.global_grid

@@ -59,6 +59,25 @@ def test_native_count_differences():
     assert cnt == 1 and abs(mr - 5e-9) < 1e-10
 
 
+def test_native_guards(tmp_path):
+    """Round-3 review hardening: shape mismatches must raise in the glue
+    (the C loops index by the first array's extents — an out-of-bounds
+    read otherwise), and a line longer than the reader's buffer must be
+    an explicit error, not two silently-corrupt values."""
+    if not native.available():
+        pytest.skip("native io not built")
+    with pytest.raises(ValueError, match="shape"):
+        native.count_differences(np.zeros(4), np.zeros(3), 1e-13, 1e-10)
+    with pytest.raises(ValueError, match="shape"):
+        native.write_cells(tmp_path / "x.csv",
+                           [np.zeros((2, 2)), np.zeros((3, 2))], 17)
+    long_line = ", ".join(["1.00000000000000000e+00"] * 200)  # ~5 KB
+    p = tmp_path / "long.csv"
+    p.write_text(long_line + "\n")
+    with pytest.raises(IOError, match="-3"):
+        native.read_cells(p, 400)
+
+
 def test_write_ghosts(small_state, tmp_path):
     params, state = small_state
     cfg = params.config

@@ -22,6 +22,27 @@ def test_defaults_follow_test_case():
     assert p.cfl == 0.7 and p.domain_size == (2.0, 2.0) and p.origin == (-1.0, -1.0)
 
 
+def test_sedov_f32_constants_round_once():
+    """Sedov's r and high_E follow Julia promotion: hypot in T, the
+    divides in f64, ONE final rounding to T (`src/tests.jl:17,114` —
+    Float32/Float64 promotes to Float64 there). NumPy weak scalar
+    promotion would keep `float32 / python-float` in f32, shifting r by
+    1 ulp on ~15% of grid sizes (round-3 review finding). N=5 shifts both
+    r and high_E; the golden N=100 rounds identically either way."""
+    import math
+    from armon_tpu.models.cases import Sedov
+    T = np.float32
+    n = 5
+    dx = dy = 2.0 / n
+    case = Sedov.from_cell_size(dx, dy, dtype=T)
+    assert case.r == T(float(np.hypot(T(dx), T(dy))) / math.sqrt(2.0))
+    # the f32-division result differs — the regression this test pins
+    assert case.r != T(np.hypot(T(dx), T(dy)) / T(math.sqrt(2.0)))
+    ip = case.init_params()
+    assert T(ip.high_E) == T((1.0 / 1.033) ** 5
+                             / float(T(math.pi) * case.r ** 2))
+
+
 def test_nghost_validation():
     # min_nghost = stencil(riemann) * stencil(projection) (src/parameters.jl:609-613)
     with pytest.raises(SolverException, match="ghost"):
