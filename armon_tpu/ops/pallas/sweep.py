@@ -653,8 +653,14 @@ def _bc_x_apply(a, g, nx, f_lo, f_hi):
 def inline_bc_x_ok(cfg) -> bool:
     """Whether the X-axis ghost fill can run inside the kernels: single
     device only (the mesh path's X fill is the halo exchange / the traced
-    edge-shard BC, which needs shard-position-dependent factors)."""
-    return not cfg.spmd
+    edge-shard BC, which needs shard-position-dependent factors).
+    Degenerate-width guards (fall back to the XLA fill, which is
+    sequential left-then-right): nx >= nghost keeps the right mirror's
+    source lanes [nx, nx+g) out of the left ghost band that the XLA fill
+    would have refreshed first, and g <= 64 keeps `_bc_x_apply`'s roll
+    amounts (up to 2g-1) within one 128-lane boundary slice."""
+    g = cfg.nghost
+    return not cfg.spmd and cfg.n_local[0] >= g and g <= 64
 
 
 def _bc_x_spec(cfg):
@@ -913,15 +919,31 @@ def _halo_strips(x, chunk, rows):
     of it) so the sweep kernel never reads main-array rows outside its own
     tile — the condition that makes input/output buffer aliasing safe.
     Chunk-0 above and last-chunk below are clamped placeholders (their
-    results land in dead ghost cells, as with the old clamped index maps)."""
+    results land in dead ghost cells, as with the old clamped index maps).
+
+    Short ragged tails (rows % chunk in [1, 7]): the second-to-last
+    chunk's below strip MUST still start at the true row (i+1)*chunk — a
+    whole-strip clamp to rows-8 would shift every row the consumer's real
+    outputs read by (8 - tail). Only the pad rows past the array end are
+    arbitrary: a strip row j >= tail is consumed by output rows
+    >= rows - nghost (ghost band, dead by invariant 3)."""
     nci = pl.cdiv(rows, chunk)
     above = [jax.lax.slice_in_dim(x, 0, 8, axis=0)]
     for i in range(1, nci):
         above.append(jax.lax.slice_in_dim(x, i * chunk - 8, i * chunk, axis=0))
     below = []
     for i in range(nci):
-        lo = min((i + 1) * chunk, rows - 8)
-        below.append(jax.lax.slice_in_dim(x, lo, lo + 8, axis=0))
+        start = (i + 1) * chunk
+        if start + 8 <= rows:
+            below.append(jax.lax.slice_in_dim(x, start, start + 8, axis=0))
+        elif start < rows:
+            part = jax.lax.slice_in_dim(x, start, rows, axis=0)
+            pad = jax.lax.slice_in_dim(x, rows - (8 - (rows - start)), rows,
+                                       axis=0)
+            below.append(jnp.concatenate([part, pad], 0))
+        else:
+            # last chunk: clamped placeholder, never consumed by real rows
+            below.append(jax.lax.slice_in_dim(x, rows - 8, rows, axis=0))
     return jnp.concatenate(above, 0), jnp.concatenate(below, 0)
 
 

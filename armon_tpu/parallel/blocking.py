@@ -42,8 +42,10 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     """Choose tile sizes for a padded (rows, cols) block.
 
     `block_size` is the reference's cache-block option
-    (`src/parameters.jl:497-516`); when given, it bounds the Y-sweep tile
-    (clamped to hardware alignment and the VMEM budget).
+    (`src/parameters.jl:497-516`); when given, it is AUTHORITATIVE for the
+    Y-sweep tile — clamped only to the array extent and hardware
+    alignment, NOT to the VMEM budget (an expert perf knob: sweeps probe
+    above the auto band; only the auto planner enforces the budget).
     """
     # X sweep: full-width row tiles; rows are independent so any multiple of
     # the 8-sublane tiling works (ragged tails are padded/masked by Pallas).
@@ -52,13 +54,20 @@ def plan_tiles(rows: int, cols: int, itemsize: int,
     # (always a multiple of 8), which is what lets the X kernel emit the Y
     # sweep's halo strips (ops/pallas/sweep.py:strip_emission_plan).
     # Fall back to ragged 32-row tiles — never the whole array (VMEM
-    # blowup at production widths).
+    # blowup at production widths). Every branch is clamped by the VMEM
+    # bound: a SHORT but WIDE array (e.g. 256 x 16392) would otherwise
+    # plan a whole-array tile whose ~25 live temporaries exhaust the
+    # scoped-VMEM limit at compile time.
+    budget = VMEM_BUDGET // 3  # room for Mosaic's i/o double buffers
+    per_row = cols * LIVE_BUFFERS * itemsize
+    x_vmem = max(8, (budget // per_row // 8) * 8)
     if rows <= 256:
         x_tile = _round_up(rows, 8)
     elif rows % 8 == 0:
         x_tile = int(os.environ.get("ARMON_XTILE", "8"))
     else:
         x_tile = 32
+    x_tile = min(x_tile, x_vmem)
 
     # Y sweep: (chunk + 2*halo) x tile_c buffers, LIVE_BUFFERS of them.
     # Chunk height is a measured sweet spot, not a pure cost model: the
@@ -117,12 +126,15 @@ def cycle_chunk_rows(rows: int, cols: int, itemsize: int,
     halo fraction 8/(c+8), clamped by the VMEM bound for wide arrays.
     `block_size[1]` bounds the chunk (cache-block option parity,
     `src/parameters.jl:497-516`)."""
+    budget = VMEM_BUDGET // 3  # leave room for Mosaic's i/o double buffers
+    per_row = cols * LIVE_BUFFERS * itemsize
+    vmem_bound = max(8, ((budget // per_row - 8) // 8) * 8)
     if rows <= 264:
-        chunk = _round_up(rows, 8)
+        # The VMEM bound applies to short-row grids too: a short WIDE
+        # array (e.g. 264 x 2056 f32 ~ 54 MB of live temporaries at full
+        # height) would otherwise exhaust the scoped-VMEM limit.
+        chunk = min(_round_up(rows, 8), vmem_bound)
     else:
-        budget = VMEM_BUDGET // 3  # leave room for Mosaic's i/o double buffers
-        per_row = cols * LIVE_BUFFERS * itemsize
-        vmem_bound = max(8, ((budget // per_row - 8) // 8) * 8)
         hi = min(136, vmem_bound, _round_up(rows, 8))
         if hi >= 64:
             def _cost(c):

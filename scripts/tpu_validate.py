@@ -98,6 +98,27 @@ def main():
     check("ragged-height run physical", bool(np.isfinite(rho).all()
           and rho.min() > 0), f"rho in ({rho.min():.3f}, {rho.max():.3f})")
 
+    # SHORT ragged chunk tail (rows % chunk in [1,7]) on compiled Mosaic:
+    # block_size=(9999,32) on N=92^2 gives chunk=32 with a 4-row tail —
+    # the `_halo_strips` short-tail regression geometry (round-3 review
+    # bug: the below strip was whole-clamped, shifting the bottom real
+    # rows' halo reads). Must match the default plan bit-for-bit.
+    def run_tail(**kw):
+        p = ArmonParameters(test="Sod_circ", N=(92, 92), data_type=np.float32,
+                            maxcycle=1000, silent=5, measure_time=False,
+                            return_data=True, **kw)
+        host = gather_state(p, armon(p).data)
+        g = p.nghost
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E")}
+
+    base92 = run_tail()
+    for kw in (dict(block_size=(9999, 32)),
+               dict(block_size=(9999, 32), pair_threshold=0)):
+        other = run_tail(**kw)
+        same = all(np.array_equal(base92[v], other[v]) for v in base92)
+        check(f"short-tail chunk invariance {kw} (bit-identical)", same)
+
     # TPU f64 is software-emulated and does NOT meet the strict f64 gates
     # (strict validation runs on CPU in the pytest suite); hold it to the
     # f32 ladder here.

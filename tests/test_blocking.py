@@ -74,21 +74,27 @@ def test_memory_required_accounting():
 
 def test_halo_strips_contents():
     """The Y-sweep side strips must hold exactly the 8 rows above/below
-    each chunk (clamped at the edges)."""
+    each chunk. At a short ragged tail the below strip's first `tail`
+    rows must still be the TRUE rows at (i+1)*chunk (a whole-strip clamp
+    shifted the consumer's real reads — the round-3 review bug); only
+    rows past the array end are pad (dead by invariant 3). The last
+    chunk's below block is a clamped placeholder."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from armon_tpu.ops.pallas.sweep import _halo_strips
-    rows, cols, chunk = 72, 16, 32
-    x = jnp.arange(rows * cols, dtype=jnp.float32).reshape(rows, cols)
-    above, below = _halo_strips(x, chunk, rows)
-    nci = -(-rows // chunk)
-    assert above.shape == (nci * 8, cols) and below.shape == (nci * 8, cols)
-    xn = np.asarray(x)
-    for i in range(1, nci):
-        assert np.array_equal(np.asarray(above[i * 8:(i + 1) * 8]),
-                              xn[i * chunk - 8:i * chunk])
-    for i in range(nci):
-        lo = min((i + 1) * chunk, rows - 8)
-        assert np.array_equal(np.asarray(below[i * 8:(i + 1) * 8]),
-                              xn[lo:lo + 8])
+    for rows, chunk in ((72, 32), (100, 32), (71, 32)):
+        cols = 16
+        x = jnp.arange(rows * cols, dtype=jnp.float32).reshape(rows, cols)
+        above, below = _halo_strips(x, chunk, rows)
+        nci = -(-rows // chunk)
+        assert above.shape == (nci * 8, cols) and below.shape == (nci * 8, cols)
+        xn = np.asarray(x)
+        for i in range(1, nci):
+            assert np.array_equal(np.asarray(above[i * 8:(i + 1) * 8]),
+                                  xn[i * chunk - 8:i * chunk])
+        for i in range(nci - 1):
+            start = (i + 1) * chunk
+            real = min(8, rows - start)
+            assert np.array_equal(np.asarray(below[i * 8:i * 8 + real]),
+                                  xn[start:start + real]), (rows, chunk, i)

@@ -81,6 +81,68 @@ def test_random_state_sweep_equivalence(seed):
         assert float(dtmin4) == float(dtmin)
 
 
+def test_short_tail_chunk_strips():
+    """Short ragged chunk tails (rows % chunk in [1,7]): the below halo
+    strip of the second-to-last chunk must hold the TRUE rows below it.
+    Regression for the round-3 review bug — `_halo_strips` clamped the
+    whole strip to rows-8, shifting every halo row the consumer's bottom
+    real outputs read by (8 - tail): 2.8e-3 corruption at the last real
+    row on a random field (hidden on the physics cases' near-uniform
+    boundary states). block_size=(9999,32) on N=(92,92) gives chunk=32,
+    tail=4 through both the per-sweep and whole-cycle kernels."""
+    rng = np.random.default_rng(7)
+    kw = dict(N=(92, 92), block_size=(9999, 32))
+    params = reference_params("Sod_circ", np.float64, **kw)
+    cfg = params.config
+    from armon_tpu.parallel.blocking import plan_tiles
+    rows, cols = cfg.local_shape
+    chunk = plan_tiles(rows, cols, 8, cfg.block_size).y_chunk_rows
+    nci = -(-rows // chunk)
+    assert nci >= 2 and 0 < rows - (nci - 1) * chunk < 8  # the geometry
+
+    state = make_init(params)()
+    shape = cfg.local_shape
+    state = state._replace(
+        rho=jax.numpy.asarray(1.0 + 0.5 * rng.random(shape)),
+        u=jax.numpy.asarray(0.05 * rng.standard_normal(shape)),
+        v=jax.numpy.asarray(0.05 * rng.standard_normal(shape)),
+        E=jax.numpy.asarray(2.0 + 0.5 * rng.random(shape)),
+    )
+    dt = np.float64(1e-4)
+    s1 = boundary_conditions(cfg, update_eos(cfg, state), Axis.Y)
+    s2 = numerical_fluxes(cfg, s1, Axis.Y, dt)
+    s2 = cell_update(cfg, s2, Axis.Y, dt)
+    s2 = projection_remap(cfg, s2, Axis.Y, dt)
+    sBC = boundary_conditions(cfg, state, Axis.Y, ("rho", "u", "v", "E"))
+    from armon_tpu.ops.pallas.sweep import fused_sweep_ip
+    r4, u4, v4, E4, p4, dtmin4 = fused_sweep_ip(
+        cfg, Axis.Y, sBC.rho, sBC.u, sBC.v, sBC.E, dt, interpret=True)
+    g = cfg.nghost
+    rs = (slice(g, -g), slice(g, -g))
+    for name, a, b in [("rho", s2.rho, r4), ("u", s2.u, u4),
+                       ("v", s2.v, v4), ("E", s2.E, E4)]:
+        assert np.allclose(np.asarray(a)[rs], np.asarray(b)[rs],
+                           rtol=1e-12, atol=1e-13), name
+
+    # Full-solver tier agreement at the same geometry, long enough for the
+    # shock to reach the boundary rows (the whole-cycle pair path).
+    from armon_tpu.core.solver import make_jit_loop, gather_state
+
+    def run(tier):
+        p = reference_params("Sod_circ", np.float64, kernel_tier=tier,
+                             maxcycle=35, **kw)
+        st = make_init(p)()
+        st, t, cycles, dtl, lm, ok = make_jit_loop(p)(st)
+        assert bool(ok)
+        return gather_state(p, st)
+
+    ha, hb = run("jnp"), run("pallas")
+    for var in ("rho", "u", "v", "E"):
+        assert np.allclose(np.asarray(getattr(ha, var))[rs],
+                           np.asarray(getattr(hb, var))[rs],
+                           rtol=1e-12, atol=1e-13), var
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_pair_cycle_matches_per_sweep(seed):
     """The whole-cycle pair kernel (one pass, both sweeps — used on meshes
