@@ -79,7 +79,10 @@ _FN_CACHE_MAX = 64
 def _cached(params, kind, build):
     if params.devices is not None:
         return build()
-    key = (params.config, kind)
+    # reorder_grid shapes the mesh device order (make_mesh) but is not in
+    # SolverConfig — it must be part of the key or a same-config run with
+    # the other setting would reuse the wrong mesh.
+    key = (params.config, params.reorder_grid, kind)
     fn = _FN_CACHE.get(key)
     if fn is None:
         fn = _FN_CACHE[key] = build()
@@ -149,8 +152,18 @@ def make_conservation(params):
             def cons(state):
                 from jax import lax
                 m, e = conservation_vars(cfg, state)
-                # MPI.Allreduce(SUM) analog (src/reductions.jl:318-320);
-                # componentwise over the compensated pairs
+                if np.dtype(cfg.dtype).itemsize == 4:
+                    # f32 compensated (hi, lo) pairs: a componentwise f32
+                    # psum would re-introduce ~1e-7 of cross-shard rounding
+                    # into the hi sum, defeating the f64-grade drift
+                    # measurement. Gather every shard's pair instead; the
+                    # host combines them in f64 (conservation_scalar).
+                    for ax in cfg.axis_names:
+                        m = lax.all_gather(m, ax)
+                        e = lax.all_gather(e, ax)
+                    return m, e
+                # f64 scalars: MPI.Allreduce(SUM) analog
+                # (src/reductions.jl:318-320) — exact in f64.
                 m = lax.psum(m, cfg.axis_names)
                 e = lax.psum(e, cfg.axis_names)
                 return m, e
@@ -287,6 +300,11 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
     # Non-fused resume from a fused-tier checkpoint: the saved CFL carry
     # overrides the first cycle's state reduction (state.c is stale).
     resume_lm = None if fused else local_min
+    if not fused:
+        # Consumed via resume_lm only; cleared so later checkpoint_step
+        # saves record "no carry" (the jnp tier restores from state.c)
+        # instead of re-saving the original checkpoint's stale minimum.
+        local_min = None
     if fused and local_min is None:
         from ..ops.reductions import dt_cfl_min
         from jax import lax
@@ -349,8 +367,12 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
             m, e = conservation(state)
             dM = abs(params.initial_mass - float(m)) / params.initial_mass * 100
             dE = abs(params.initial_energy - float(e)) / params.initial_energy * 100
-            print(f"Cycle {cycles:4d}: dt = {float(dt_use):.18f}, "
-                  f"t = {float(t):.18f}, |dM| = {dM:8.6g}%, |dE| = {dE:8.6g}%")
+            # The reference prints AFTER next_cycle!, where current_dt has
+            # been advanced to the NEXT cycle's dt (src/solver.jl:366-367,
+            # src/solver_state.jl:162); '#' keeps trailing zeros like
+            # Julia's %#8.6g.
+            print(f"Cycle {cycles:4d}: dt = {float(dt_prev):.18f}, "
+                  f"t = {float(t):.18f}, |dM| = {dM:#8.6g}%, |dE| = {dE:#8.6g}%")
 
         if params.animation_step != 0 and (cycles - 1) % params.animation_step == 0:
             frame = (cycles - 1) // params.animation_step
@@ -440,10 +462,16 @@ def _checkpointed_cycle(params, fns, state, dt_prev, cycle_idx, checkpoint,
                                                T(lm_override))
     else:
         dt_use, dt_next, ok = fns["dt"](state, dt_prev, np.int32(cycle_idx))
-    if checkpoint("time_step", state, Axis.X, float(dt_use), cycle_idx):
+    even, odd = split_schedules(cfg.splitting)
+    # time_step files are tagged X at cycle 0, else with the PREVIOUS
+    # cycle's last sweep axis — the reference's `state.axis` at that point
+    # (src/io.jl:193-198), so cross-implementation compare mode finds the
+    # same file names.
+    ts_axis = Axis.X if cycle_idx == 0 else \
+        (even if (cycle_idx - 1) % 2 == 0 else odd)[-1][0]
+    if checkpoint("time_step", state, ts_axis, float(dt_use), cycle_idx):
         return state, dt_use, dt_next, ok, True
 
-    even, odd = split_schedules(cfg.splitting)
     schedule = even if cycle_idx % 2 == 0 else odd
     for axis, factor in schedule:
         dt = T(dt_use) * T(factor)
@@ -783,7 +811,10 @@ def make_file_checkpoint(params):
                 return False
             with open(path) as f:
                 ref_dt = float(f.read().strip())
-            diff = not np.isclose(ref_dt, dt, rtol=params.comparison_tolerance, atol=0)
+            # Julia isapprox semantics (src/io.jl:210), same formula as
+            # count_differences — NaN-safe: a NaN dt compares different.
+            tol = params.comparison_tolerance * max(abs(ref_dt), abs(dt))
+            diff = not (abs(ref_dt - dt) <= tol)
             if diff:
                 print(f"Time step difference: ref dt = {ref_dt:.18f}, "
                       f"dt = {dt:.18f}, diff = {ref_dt - dt:.18f}")

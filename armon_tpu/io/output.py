@@ -147,9 +147,11 @@ def count_differences(cfg, ours: dict, ref: dict, atol, rtol):
             total += cnt
             continue
         err = np.abs(a - b)
-        # Julia isapprox: |a-b| <= max(atol, rtol*max(|a|,|b|))
+        # Julia isapprox: |a-b| <= max(atol, rtol*max(|a|,|b|)). Negated
+        # form so a NaN cell COUNTS as different (err > tol is False for
+        # NaN — a diverged state must not pass the zero-diff gate).
         tol = np.maximum(atol, rtol * np.maximum(np.abs(a), np.abs(b)))
-        mask = err > tol
+        mask = ~(err <= tol)
         cnt = int(mask.sum())
         if cnt:
             # Same zero guard as the native path (smallest subnormal:

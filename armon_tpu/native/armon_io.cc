@@ -137,7 +137,9 @@ long armon_count_differences(const double* ref, const double* ours, long n,
         double scale = aa > ab ? aa : ab;
         double tol = rtol * scale;
         if (tol < atol) tol = atol;
-        if (err > tol) {
+        // Negated comparison so NaN counts as a difference (Julia
+        // !isapprox(NaN, x) semantics): err > tol is false for NaN.
+        if (!(err <= tol)) {
             count++;
             double denom = aa > 0 ? aa : 5e-324;
             double rel = err / denom;

@@ -140,8 +140,11 @@ def conservation_vars(cfg, state):
 
 def conservation_scalar(cfg, v) -> float:
     """Host-side f64 value of a `conservation_vars` output: combines the
-    compensated (hi, lo) pair and applies the ds scaling in f64."""
+    compensated (hi, lo) pair(s) and applies the ds scaling in f64. Under
+    SPMD f32 the input is the all-gathered stack of every shard's pair
+    (..., 2): each pair is combined and the cross-shard sum runs in f64,
+    keeping the whole measurement f64-grade."""
     a = np.asarray(jax.device_get(v), np.float64)
-    if a.ndim == 1:
-        return float((a[0] + a[1]) * (cfg.dx * cfg.dy))
+    if a.ndim >= 1 and a.shape[-1] == 2:
+        return float((a[..., 0] + a[..., 1]).sum() * (cfg.dx * cfg.dy))
     return float(a)

@@ -120,7 +120,10 @@ class ArmonParameters:
         origin = o.pop("origin", None)
         cfl = float(o.pop("cfl", 0.0))
         maxtime = float(o.pop("maxtime", 0.0))
-        self.maxcycle = int(o.pop("maxcycle", 500_000))
+        # Clamped to int32 (the jit loop's cycle-counter dtype): larger
+        # values mean "unbounded" and would otherwise wrap or overflow in
+        # np.int32(maxcycle) at trace time.
+        self.maxcycle = min(int(o.pop("maxcycle", 500_000)), 2**31 - 1)
 
         if isinstance(test, TestCase):
             self.test = test
@@ -201,7 +204,10 @@ class ArmonParameters:
     def _init_profiling(self, o):
         """src/parameters.jl:532-575. Known profilers: 'trace'
         (jax.profiler XPlane dump — the NVTX/CUDA-profiler analog)."""
-        self.profiling = list(o.pop("profiling", []))
+        prof = o.pop("profiling", [])
+        # A bare string ('profiling=trace', the natural CLI spelling) is
+        # ONE profiler name, not an iterable of characters.
+        self.profiling = [prof] if isinstance(prof, str) else list(prof)
         unknown = set(map(str, self.profiling)) - {"trace"}
         if unknown:
             solver_error("config", "Unknown profiler" +

@@ -91,6 +91,26 @@ def test_explicit_none_local_min_means_no_carry(tmp_path):
     assert lm is None
 
 
+def test_resumed_jnp_checkpoint_step_drops_stale_carry(tmp_path):
+    """A jnp-tier run resumed from a fused-tier checkpoint consumes the
+    saved CFL carry for its FIRST cycle only; periodic checkpoint_step
+    saves later in that run must record "no carry" (restore from c), not
+    re-save the original checkpoint's now-stale minimum."""
+    p1, s1 = full_run("Sod_circ", 6, kernel_tier="pallas")
+    ckpt = tmp_path / "f.ckpt.npz"
+    save_checkpoint(ckpt, p1, s1.data, s1.final_time, s1.cycles, s1.last_dt)
+    _, _, _, _, lm0 = load_checkpoint(ckpt, p1)
+    assert lm0 is not None
+
+    p2 = reference_params("Sod_circ", np.float64, maxcycle=12,
+                          kernel_tier="jnp", checkpoint_step=3,
+                          output_dir=str(tmp_path), output_file="resumed")
+    armon(p2, restore_from=str(ckpt))
+    _, _, cyc, _, lm = load_checkpoint(tmp_path / "resumed.ckpt.npz", p2)
+    assert cyc == 12
+    assert lm is None  # not the cycle-6 carry from the original file
+
+
 def test_final_local_min_reset_between_runs(tmp_path):
     """armon() resets the recorded carry at run start: a jnp python-driver
     checkpoint written after a previous (unrelated) run on the same params
