@@ -266,10 +266,7 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
     T = cfg.dtype.type
     conservation = make_conservation(params) if params.silent <= 1 else None
 
-    if checkpoint is None:
-        cycle_fn = make_cycle(params)
-    else:
-        cycle_fn = None
+    if checkpoint is not None:
         step_fns = _make_step_fns(params)
 
     # EOS_init (src/solver.jl:291-295)
@@ -305,6 +302,15 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
         # saves record "no carry" (the jnp tier restores from state.c)
         # instead of re-saving the original checkpoint's stale minimum.
         local_min = None
+    # jnp-tier cycle program: the resume variant (lm-override input, NaN
+    # after the first cycle) serves the WHOLE resumed run so only one
+    # full-cycle program is compiled.
+    use_resume_cycle = (checkpoint is None and not fused
+                        and resume_lm is not None)
+    cycle_fn = None
+    if checkpoint is None:
+        cycle_fn = _make_resume_cycle(params) if use_resume_cycle \
+            else make_cycle(params)
     if fused and local_min is None:
         from ..ops.reductions import dt_cfl_min
         from jax import lax
@@ -328,9 +334,14 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
             state, dt_use, dt_next, local_min, ok = cycle_fn(
                 state, dt_prev, np.int32(cycles), local_min)
         elif checkpoint is None:
-            if resume_lm is not None:
-                state, dt_use, dt_next, ok = _make_resume_cycle(params)(
-                    state, dt_prev, np.int32(cycles), T(resume_lm))
+            if use_resume_cycle:
+                # One program for the whole resumed run: the override is
+                # live (non-NaN) for the first cycle only — avoids a
+                # second full-cycle compile (minutes on TPU) relative to
+                # switching back to the plain cycle program.
+                state, dt_use, dt_next, ok = cycle_fn(
+                    state, dt_prev, np.int32(cycles),
+                    T(resume_lm) if resume_lm is not None else T(np.nan))
                 resume_lm = None
             else:
                 state, dt_use, dt_next, ok = cycle_fn(state, dt_prev,

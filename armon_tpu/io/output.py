@@ -156,10 +156,12 @@ def count_differences(cfg, ours: dict, ref: dict, atol, rtol):
         if cnt:
             # Same zero guard as the native path (smallest subnormal:
             # 5e-324 for f64, the C constant), so the reported max_rel is
-            # machine-independent of which path ran
+            # machine-independent of which path ran. Divide ONLY the
+            # differing cells: a non-differing zero-ref cell with tiny
+            # noise would overflow err/denom to inf and inf*False = NaN
+            # would poison the max.
             denom = np.maximum(np.abs(a), np.finfo(a.dtype).smallest_subnormal)
-            rel = (err / denom) * mask
-            m = float(rel.max())
+            m = float((err[mask] / denom[mask]).max())
             max_diff = max(max_diff, m)
             details[var] = (cnt, m)
         total += cnt

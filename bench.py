@@ -37,11 +37,17 @@ def _env_cfg():
 
 
 def _error_json(msg):
-    """The one zero-measurement error shape (driver contract)."""
-    n, ny, _, _, test = _env_cfg()
+    """The one zero-measurement error shape (driver contract). Must never
+    raise — it is the last line of defense for the one-JSON-line
+    contract, including when the ARMON_BENCH_* env itself is invalid."""
+    try:
+        n, ny, _, _, test = _env_cfg()
+        metric = ("cell-updates/sec/chip (%s %dx%d GAD+minmod euler_2nd)"
+                  % (test, n, ny))
+    except Exception:
+        metric = "cell-updates/sec/chip"
     return json.dumps({
-        "metric": "cell-updates/sec/chip (%s %dx%d GAD+minmod euler_2nd)"
-                  % (test, n, ny),
+        "metric": metric,
         "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0,
         "error": str(msg)[:300],
     })
@@ -173,7 +179,12 @@ def main():
     if os.environ.get("ARMON_BENCH_CHILD") != "1":
         sys.exit(_retry_parent())
 
-    n, ny, cycles, dtype, test = _env_cfg()
+    try:
+        n, ny, cycles, dtype, test = _env_cfg()
+    except Exception as e:  # invalid ARMON_BENCH_* env: deterministic
+        print(_error_json(f"invalid ARMON_BENCH_* env: "
+                          f"{type(e).__name__}: {e}"), flush=True)
+        return
 
     # Watchdog: a wedged device tunnel hangs inside native PJRT init (no
     # exception, no output, and signals can't preempt the C code). A
@@ -221,12 +232,23 @@ def main():
         init_done.set()
         done.set()
         print(_error_json(f"{type(e).__name__}: {e}"), flush=True)
-        if not was_init:
-            # Exceptions from device init (connection refused, plugin
-            # errors) are tunnel-flake-shaped: exit 2 so the parent
-            # retries. Post-init exceptions are deterministic: exit 0.
-            sys.exit(2)
-        return
+        # Classify for the retry parent: config/solver errors are
+        # deterministic (exit 0, report immediately); anything else —
+        # pre-init failures (connection refused, plugin errors) and
+        # post-init runtime errors (the tunnel can die MID-measurement,
+        # surfacing as XlaRuntimeError, not only as a hang) — is
+        # flake-shaped, exit 2 so a fresh process retries it.
+        deterministic = isinstance(e, (TypeError, ValueError, KeyError,
+                                       AssertionError))
+        if not deterministic:
+            try:
+                from armon_tpu.utils.errors import SolverException
+                deterministic = isinstance(e, SolverException)
+            except Exception:
+                pass
+        if was_init and deterministic:
+            return
+        sys.exit(2)
 
     print(json.dumps({
         "metric": f"cell-updates/sec/chip ({test} {n}x{ny} "
