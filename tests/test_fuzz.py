@@ -20,15 +20,24 @@ from armon_tpu.ops.projection import projection_remap
 from armon_tpu.ops.pallas.sweep import fused_sweep
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 12, 13])
 def test_random_state_sweep_equivalence(seed):
     rng = np.random.default_rng(seed)
     scheme = rng.choice(["Godunov", "GAD"])
     limiter = rng.choice(["no_limiter", "minmod", "superbee"])
     projection = rng.choice(["euler", "euler_2nd"])
-    params = reference_params("Sod_circ", np.float64, N=(48, 40),
+    # Randomize the tile GEOMETRY too: multi-chunk plans, ragged and
+    # SHORT (<8-row) chunk tails (seeds 12/13 land tail=6), ragged lane
+    # tiles — the round-3 short-tail halo-strip bug lived exactly in a
+    # geometry the fixed single-chunk shape of this test could never
+    # reach.
+    n = (int(rng.integers(40, 140)), int(rng.integers(40, 140)))
+    bs = (9999, int(rng.choice([16, 24, 32, 48]))) \
+        if rng.random() < 0.75 else None
+    params = reference_params("Sod_circ", np.float64, N=n,
                               scheme=str(scheme), riemann_limiter=str(limiter),
-                              projection=str(projection))
+                              projection=str(projection),
+                              **({"block_size": bs} if bs else {}))
     cfg = params.config
     state = make_init(params)()
 
