@@ -26,6 +26,11 @@ import numpy as np
 def run_config(name, test, n, cycles, dtype, tier, fast=True):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if np.dtype(dtype).itemsize == 8:
+        # Only armon() auto-enables x64; this harness drives the loop
+        # builders directly — without this the 'f64' rows would silently
+        # measure f32 math (arrays downcast with only a warning).
+        jax.config.update("jax_enable_x64", True)
     from armon_tpu import ArmonParameters
     from armon_tpu.core.solver import make_init, make_jit_loop
 
@@ -47,6 +52,10 @@ def run_config(name, test, n, cycles, dtype, tier, fast=True):
         _ = float(np.asarray(out[1]))
         best = min(best, time.perf_counter() - t0)
     ran = int(out[2])
+    if not bool(out[5]) or ran != cycles:
+        # An early invalid-dt abort must not be recorded as a normal row.
+        raise RuntimeError(f"run aborted: ok={bool(out[5])} after "
+                           f"{ran}/{cycles} cycles (invalid dt?)")
     cells = N[0] * N[1]
     cells_s = cells * ran / best
     return {"config": name, "test": test, "N": f"{N[0]}x{N[1]}",

@@ -1,10 +1,21 @@
 """On-hardware perf attribution for the fused cycle kernel.
 
+PROVENANCE / CALIBRATION CAVEATS (round-2 era probe — kept verbatim so
+its numbers in BENCH_NOTES stay reproducible; do NOT read `base` as the
+CURRENT production kernel):
+- `base` uses pltpu.roll; production switched to static jnp.roll
+  (~40% of the lane-axis sweep — BENCH_NOTES), has input_output_aliases
+  and in-kernel BC fills. The roll share this probe reports is
+  therefore ~2x the production share.
+- The 'GB/s effective' lines use 40 B/cell (36 for no_p); the probe's
+  own printed traffic accounting is 36 (32) B/cell — the GB/s lines
+  overstate proximity to the roof by ~11%.
+
 Times variants of the fused single-cycle kernel to attribute the gap to the
 chip ceilings (docs/architecture.md: ~140 GB/s Pallas DMA, ~377 GB/s XLA
 streaming):
 
-  base     — the production fused_cycle kernel
+  base     — the round-2 fused_cycle kernel shape (see caveats above)
   no_p     — p output stream removed            (write-traffic share)
   no_dt    — dt-min accumulation removed        (reduction share)
   no_p_dt  — both removed                       (pure sweep math)

@@ -1,7 +1,13 @@
 """Per-section timing of the PRODUCTION per-sweep path (post in-kernel-BC):
-X sweep (emit off, strips emitted), Y sweep (emit on, strips consumed),
-and the chained cycle — each as a jitted fori_loop of K reps so the ~26 ms
-dispatch RTT is amortized (CLAUDE.md gotcha).
+X sweep, Y sweep, and the chained cycle — each as a jitted fori_loop of K
+reps so the ~26 ms dispatch RTT is amortized (CLAUDE.md gotcha).
+
+CALIBRATION CAVEATS (when itemizing against BENCH_NOTES):
+- The standalone X section runs emit_strips=False while the production
+  cycle's X sweep emits the Y halo strips — X + Y here understate the
+  cycle by the strip-emission writes; use the cycle section as truth.
+- A flat 0.026 s RTT constant is subtracted per rep; on transports
+  without it (CPU, future tunnels) sections read low by 26/K ms.
 
 Usage: python scripts/probe_sections.py [N] [K]
 """

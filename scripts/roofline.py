@@ -6,6 +6,11 @@ point is the scheme's compute floor (or a map of what overhead remains):
 "a measured ops/cell count x the chip's ALU rate ... itemized against the
 observed, with the unexplained residual <5%".
 
+CALIBRATION CAVEAT: the roll-rate microbench rolls a loop-INVARIANT
+input with 3 distinct shift amounts, so compiler CSE can collapse the
+chain — treat its per-roll cost as a lower bound (the production roll
+share was measured by kernel A/Bs, not this chain; see BENCH_NOTES).
+
 INTERPRETATION (round-3 conclusion, see BENCH_NOTES): the per-class
 chain rates below are VMEM-BANDWIDTH-bound (each chain op costs ~3
 VMEM touches = ~12 B at the ~10-12 TB/s VMEM rate → the ~0.8 Tops/s

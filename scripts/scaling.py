@@ -22,9 +22,17 @@ def main():
     ap.add_argument("--virtual", type=int, default=0,
                     help="force N virtual CPU devices")
     ap.add_argument("--n-per-device", type=int, default=512)
-    ap.add_argument("--cycles", type=int, default=10)
+    ap.add_argument("--cycles", type=int, default=0,
+                    help="default: 10 on the virtual CPU mesh (schedule "
+                         "validation), 150 on hardware (so the ~26 ms "
+                         "dispatch RTT stays a few %% of the measurement)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="best-of-N timing reps (inter-process drift is "
+                         "2-3%%; see CLAUDE.md)")
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     args = ap.parse_args()
+    if args.cycles == 0:
+        args.cycles = 10 if args.virtual else 150
 
     if args.virtual:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
@@ -59,12 +67,18 @@ def main():
         state = make_init(params)()
         loop = make_jit_loop(params)
         out = loop(state)
-        _ = float(np.asarray(out[1]))
-        t0 = time.perf_counter()
-        out = loop(state)
-        _ = float(np.asarray(out[1]))
-        dt = time.perf_counter() - t0
-        cells = n[0] * n[1] * args.cycles
+        _ = float(np.asarray(out[1]))  # warm-up / compile
+        dt = float("inf")
+        for _rep in range(args.reps):
+            t0 = time.perf_counter()
+            out = loop(state)
+            _ = float(np.asarray(out[1]))
+            dt = min(dt, time.perf_counter() - t0)
+        ran = int(out[2])
+        if not bool(out[5]) or ran != args.cycles:
+            raise RuntimeError(f"mesh {px}x{py}: run aborted after "
+                               f"{ran}/{args.cycles} cycles")
+        cells = n[0] * n[1] * ran
         r = {"mesh": f"{px}x{py}", "N": n, "seconds": round(dt, 4),
              "cells_per_sec": round(cells / dt, 1)}
         results.append(r)
