@@ -16,6 +16,7 @@ global-file reader streams line-by-line keeping only the window.
 import numpy as np
 
 from ..core.state import State, SAVED_VARS
+from ..utils.errors import solver_error
 
 
 def shard_coords_iter(params, state: State, vars=SAVED_VARS):
@@ -130,6 +131,7 @@ def read_global_file_window(cfg, path, coords, skip_header=False,
     out = {v: np.empty((hy, wx), cfg.dtype) for v in SAVED_VARS}
     header = None
     row = 0          # global cell-row index in the file
+    filled = 0       # window cells actually read (underfill guard)
     with open(path) as f:
         if skip_header:
             header = f.readline().strip()
@@ -142,12 +144,22 @@ def read_global_file_window(cfg, path, coords, skip_header=False,
                 vals = line.split(",")
                 for k, v in enumerate(SAVED_VARS):
                     out[v][row - row0, cell - col0] = T(vals[k])
+                filled += 1
             cell += 1
             if cell == gnx:
                 cell = 0
                 row += 1
                 if row >= row0 + hy:
                     break
+    if filled != hy * wx:
+        # A truncated file / wrong n_global / with_ghosts mismatch would
+        # otherwise leave np.empty heap garbage in the unreached cells and
+        # the comparator would diff real state against garbage — possibly
+        # even reporting zero differences.
+        solver_error("config",
+                     f"global file {path} ended before shard {coords}'s "
+                     f"window was filled ({filled}/{hy * wx} cells — "
+                     f"truncated file, or a grid/ghost-layout mismatch?)")
     return header, out
 
 
@@ -156,7 +168,13 @@ def compare_sub_domain_with_golden(params, state: State, golden_path,
     """Compare every shard's real cells against its window of a golden
     global-domain reference file (header `dt, cycles`). Returns
     (ref_dt, ref_cycles, total diff count, max rel diff) —
-    `ref_data_for_sub_domain` + comparison (`test/mpi.jl:94-130`)."""
+    `ref_data_for_sub_domain` + comparison (`test/mpi.jl:94-130`).
+
+    Deliberate trade-off: the golden file is re-streamed once PER SHARD
+    (O(P) passes) so host memory stays O(window) — the design contract of
+    this module. The reference amortizes the same cost across separate
+    MPI processes; a single-process one-pass reader would need O(global)
+    host memory, the thing the per-shard machinery exists to avoid."""
     from .output import count_differences
     cfg = params.config
     total, max_diff = 0, 0.0

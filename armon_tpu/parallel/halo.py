@@ -27,11 +27,14 @@ from ..ops.boundary import boundary_conditions
 
 def _bc_factors(cfg, side, vars):
     """(nvars,) per-variable mirror factors for a global border
-    (`src/tests.jl:150-161` applied to the exchanged vars)."""
+    (`src/tests.jl:150-161` applied to the exchanged vars). The
+    var->factor mapping is boundary._var_factor — ONE source of the
+    mirror semantics for the sharded and single-device paths (invariant
+    2 depends on them agreeing)."""
+    from ..ops.boundary import _var_factor
     u_f, v_f = cfg.test.boundary_factors(side)
     T = np.dtype(cfg.dtype).type
-    facs = [T(u_f) if v == "u" else T(v_f) if v == "v" else T(1.0)
-            for v in vars]
+    facs = [T(_var_factor(v, u_f, v_f)) for v in vars]
     return np.asarray(facs, dtype=cfg.dtype).reshape((len(vars),) + (1, 1))
 
 

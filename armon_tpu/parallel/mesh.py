@@ -39,7 +39,14 @@ def make_mesh(proc_dims, axis_names=("px", "py"), devices=None, reorder=True):
             from jax.experimental import mesh_utils
             dev_array = mesh_utils.create_device_mesh((py, px),
                                                       devices=devices[:n])
-        except Exception:
+        except Exception as e:
+            # Falling back to verbatim order silently would be a perf
+            # cliff on real topologies (ppermute neighbors on non-adjacent
+            # chips) indistinguishable from a kernel regression — warn.
+            import warnings
+            warnings.warn(f"ICI-friendly device reorder failed "
+                          f"({type(e).__name__}: {e}); using the verbatim "
+                          f"device order")
             dev_array = np.asarray(devices[:n]).reshape(py, px)
     else:
         dev_array = np.asarray(devices[:n]).reshape(py, px)
