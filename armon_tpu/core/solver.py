@@ -318,7 +318,8 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
         def seed_fn(s):
             m = dt_cfl_min(cfg, s)
             if cfg.spmd:
-                m = lax.pmin(m, axis_name=cfg.axis_names)
+                from ..ops.reductions import pmin_dt
+                m = pmin_dt(m, cfg.axis_names)
             return m
 
         seed = jax.jit(seed_fn) if not cfg.spmd else \
@@ -557,7 +558,8 @@ def measure_sections(params, state, reps=3):
                 # The per-shard minimum must be reduced before the
                 # replicated out_spec claims it is mesh-uniform.
                 from jax import lax
-                lm = lax.pmin(lm, axis_name=cfg.axis_names)
+                from ..ops.reductions import pmin_dt
+                lm = pmin_dt(lm, cfg.axis_names)
             return out, lm
 
         for axis in (Axis.X, Axis.Y):

@@ -319,7 +319,8 @@ def solver_cycle_fused(cfg, state, dt_prev, cycle, local_min,
     if cfg.spmd:
         # Reduce at production so the carry is replicated over the mesh
         # (the reference's one-cycle-early Iallreduce, src/reductions.jl:117-125).
-        new_min = lax.pmin(new_min, axis_name=cfg.axis_names)
+        from ..ops.reductions import pmin_dt
+        new_min = pmin_dt(new_min, cfg.axis_names)
     return state, dt_use, dt_next, new_min, strips, ok
 
 
@@ -396,7 +397,8 @@ def make_time_loop(cfg, restore=False):
             else:
                 seed = dt_cfl_min(cfg, state)
                 if cfg.spmd:
-                    seed = lax.pmin(seed, axis_name=cfg.axis_names)
+                    from ..ops.reductions import pmin_dt
+                    seed = pmin_dt(seed, cfg.axis_names)
                 if lm0 is None:
                     local0 = seed
                 else:
@@ -433,7 +435,8 @@ def make_time_loop(cfg, restore=False):
                 # Reduce before the replication claim in the shard_map
                 # out_specs — and so a saved checkpoint carries the GLOBAL
                 # minimum (the fused tier treats it as already reduced).
-                lm = lax.pmin(lm, axis_name=cfg.axis_names)
+                from ..ops.reductions import pmin_dt
+                lm = pmin_dt(lm, cfg.axis_names)
         return state, t, cycles, dt_last, lm, ok
 
     return loop

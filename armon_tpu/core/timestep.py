@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..ops.reductions import dt_cfl_min
+from ..ops.reductions import dt_cfl_min, pmin_dt
 
 
 def dt_update(cfg, local_min, dt_prev, cycle, reduce=True):
@@ -46,7 +46,7 @@ def dt_update(cfg, local_min, dt_prev, cycle, reduce=True):
     if cfg.spmd and reduce:
         # Global min over the device mesh (replaces MPI_Iallreduce(MIN),
         # src/solver_state.jl:102-111)
-        local_min = lax.pmin(local_min, axis_name=cfg.axis_names)
+        local_min = pmin_dt(local_min, cfg.axis_names)
 
     first = dt_prev == 0
     # KNOWN 1-ulp-class deviation (f32 only, only when the cap binds):

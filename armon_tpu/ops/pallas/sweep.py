@@ -34,8 +34,11 @@ Tiling:
 - X sweep: tiles of TILE_R full-width rows; rows are independent (the sweep
   stencil is 1D), so no inter-tile halo at all.
 - Y sweep: tiles of (CHUNK rows x TILE_C lanes) plus one 8-row aligned halo
-  block above and below (the full sweep dependency depth is 4 =
-  stencil(riemann) * stencil(projection), `src/parameters.jl:609-613`).
+  block above and below (the full sweep dependency depth is
+  stencil(riemann) + stencil(projection) <= 4 — the params.py nghost
+  floor; measured by perturbation, tighter than the reference's product
+  rule `src/parameters.jl:609-613`, which under-counts at 1st-order
+  projections).
 
 In-tile shifted reads use static `jnp.roll` (wrap-around): wrapped values only
 ever land in cells whose results are never consumed — the same argument as

@@ -88,6 +88,23 @@ def dt_cfl_min(cfg, state):
     return jnp.minimum(dx / mx, dy / my)
 
 
+def pmin_dt(x, axis_names):
+    """NaN-safe cross-shard min for the CFL dt.
+
+    XLA lowers the AllReduce-min computation with fmin-style NaN handling
+    (min(NaN, x) can return x), so one diverged shard's NaN dt would
+    silently lose to the other shards' finite values and the driver's
+    validity gate would never fire (measured on the CPU mesh:
+    tests/test_option_fuzz.py::test_divergence_aborts_run). Map NaN to 0
+    BEFORE the collective: 0 wins any min against positive dts and fails
+    the `isfinite(dt) & (dt > 0)` gate (core/timestep.py) exactly like
+    the NaN it replaces (`src/solver_state.jl:123-125` fail-fast parity).
+    Healthy runs are bit-unchanged (the where is identity without NaN)."""
+    from jax import lax
+    x = jnp.where(jnp.isnan(x), jnp.asarray(0.0, x.dtype), x)
+    return lax.pmin(x, axis_name=axis_names)
+
+
 def _ff_sum(x):
     """Compensated (float-float / Knuth 2Sum) sum of a 2D array: a vector
     2Sum scan down the columns keeps one (hi, lo) pair per row-lane, then a

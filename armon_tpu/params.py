@@ -100,12 +100,28 @@ class ArmonParameters:
             solver_error("config", f"Unknown splitting method: '{self.axis_splitting}'")
 
         self.nghost = int(o.pop("nghost", 4))
+        # The true one-sweep dependency depth is the SUM of the stencil
+        # widths, not the reference's PRODUCT (`src/parameters.jl:609-613`):
+        # the fluxes range extends `stencil(projection) + 1` cells past the
+        # real domain (`src/parameters.jl:1008`), and the outermost
+        # Riemann solve reads `stencil(riemann) - 1` further (GAD reads
+        # rho[i+s] and rho[i-2s], `src/riemann_schemes.jl:66-81`) — so a
+        # real cell's output depends on ghosts up to depth
+        # stencil(riemann) + stencil(projection). The two rules coincide
+        # exactly at GAD+euler_2nd (4, the only minimum the reference's
+        # suite exercises); at the product rule's other minima the
+        # reference kernels index past the ghost band (into the adjacent
+        # row via the flat linear index), and this rebuild's padded-array
+        # tiers would read wrap/pad garbage into the edge real cells —
+        # measured, see tests/test_params.py::test_nghost_floor_is_sum.
         min_nghost = (_stencil_width_riemann(self.scheme)
-                      * _stencil_width_projection(self.projection))
+                      + _stencil_width_projection(self.projection))
         if self.nghost < min_nghost:
             solver_error("config",
                          f"Not enough ghost cells for the scheme: at least "
-                         f"{min_nghost} are needed, got {self.nghost}")
+                         f"{min_nghost} are needed (stencil sum; the "
+                         f"reference's product rule under-counts), got "
+                         f"{self.nghost}")
 
         self.cst_dt = bool(o.pop("cst_dt", False))
         self.Dt = float(o.pop("Dt", 0.0))

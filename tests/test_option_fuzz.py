@@ -1,0 +1,131 @@
+"""Option-space interaction fuzz (SURVEY.md §2.5).
+
+Every hand-written test pins one axis of the configuration space at a
+time; this file samples random VALID combinations across ALL axes at once
+(test case x scheme x limiter x projection x splitting x nghost x dtype x
+kernel tier x mesh x dt mode x pair routing) and demands the invariants
+that must hold for every combination:
+
+  * the run completes its cycles with a valid dt (`ok`),
+  * every field is finite and the density strictly positive,
+  * mass is conserved for the conservative test cases
+    (`src/tests.jl:48-49`; bound per `test/conservation.jl:13-14`,
+    loosened for the handful of cycles run here).
+
+The sampler is seeded per case, so a failing combination reproduces from
+its test id alone.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from armon_tpu import ArmonParameters
+from armon_tpu.core.solver import (make_init, make_jit_loop,
+                                   make_conservation, gather_state)
+
+CONSERVATIVE = {"Sod", "Sod_y", "Sod_circ"}  # gated in the reference's suite
+
+
+def _sample(rng):
+    """One random valid configuration (all constraints of params.py held
+    by construction: nghost >= stencil(riemann) * stencil(projection),
+    shards always wider than the halo slab)."""
+    scheme, limiter = rng.choice([
+        ("Godunov", "no_limiter"),
+        ("GAD", "no_limiter"), ("GAD", "minmod"), ("GAD", "superbee"),
+    ])
+    projection = rng.choice(["euler", "euler_2nd"])
+    # the true dependency depth is the stencil SUM (params.py nghost floor)
+    stencil = ((1 if scheme == "Godunov" else 2)
+               + (1 if projection == "euler" else 2))
+    opts = dict(
+        test=rng.choice(["Sod", "Sod_y", "Sod_circ", "Bizarrium", "Sedov"]),
+        scheme=scheme, riemann_limiter=limiter, projection=projection,
+        axis_splitting=rng.choice(["Sequential", "SequentialSym", "Godunov",
+                                   "Strang", "X_only", "Y_only"]),
+        nghost=max(rng.choice([2, 4, 5]), stencil),
+        N=(rng.choice([40, 48, 61]), rng.choice([40, 53, 64])),
+        data_type=rng.choice([np.float32, np.float64]),
+        kernel_tier=rng.choice(["jnp", "pallas"]),
+        maxcycle=6, maxtime=1e30,
+        silent=5, write_output=False, measure_time=False,
+    )
+    P = rng.choice([None, (2, 1), (1, 2), (2, 2), (3, 2)])
+    if P is not None:
+        opts["P"] = P
+    # dt modes: default CFL recurrence / constant dt / even-cycle reuse
+    mode = rng.random()
+    if mode < 0.2:
+        opts.update(cst_dt=True, Dt=1e-5)
+    elif mode < 0.45:
+        opts["dt_on_even_cycles"] = True
+    if opts["kernel_tier"] == "pallas":
+        # both routings: whole-cycle pair kernel and per-sweep kernels
+        opts["pair_threshold"] = rng.choice([0, 2048])
+    return opts
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_random_option_combination(seed):
+    opts = _sample(random.Random(20260818 + seed))
+    needed = int(np.prod(opts.get("P", (1, 1))))
+    if len(jax.devices()) < needed:
+        pytest.skip(f"needs {needed} devices")
+
+    params = ArmonParameters(**opts)
+    state = make_init(params)()
+    m0, _ = make_conservation(params)(state)
+    state, t, cycles, dt, lm, ok = loop_out = make_jit_loop(params)(state)
+
+    label = {k: (v.__name__ if isinstance(v, type) else v)
+             for k, v in opts.items()}
+    assert bool(ok), f"invalid time step: {label}"
+    assert int(cycles) == opts["maxcycle"], f"stopped early: {label}"
+    assert np.isfinite(float(dt)) and float(dt) > 0, label
+
+    host = gather_state(params, state)
+    g = params.nghost
+    for var in ("rho", "u", "v", "E", "p"):
+        a = np.asarray(getattr(host, var))[g:-g, g:-g]
+        assert np.all(np.isfinite(a)), f"{var} not finite: {label}"
+    assert np.all(np.asarray(host.rho)[g:-g, g:-g] > 0), \
+        f"non-positive density: {label}"
+
+    if opts["test"] in CONSERVATIVE:
+        m, _ = make_conservation(params)(state)
+        # 1e-12-grade per the reference, with headroom for the f32
+        # compensated-sum path over these few cycles.
+        tol = 1e-11 if np.dtype(params.config.dtype).itemsize == 8 else 1e-6
+        assert abs(m - m0) <= tol * abs(m0), f"mass drift {m - m0}: {label}"
+
+
+@pytest.mark.parametrize("tier,P", [("jnp", None), ("pallas", None),
+                                    ("jnp", (2, 2)), ("pallas", (2, 1))])
+def test_divergence_aborts_run(tier, P):
+    """A NaN in the state must surface as an invalid dt (`isfinite & > 0`,
+    the `src/solver_state.jl:123-125` analog), flip `ok` and stop the
+    while-loop — within two cycles (the dt carry is one cycle stale), on
+    every tier and on meshes (where the CFL reduction is a pmin)."""
+    opts = dict(test="Sod", N=(48, 48), data_type=np.float64, maxcycle=10,
+                maxtime=1e30, silent=5, write_output=False,
+                measure_time=False, kernel_tier=tier)
+    if P is not None:
+        if len(jax.devices()) < int(np.prod(P)):
+            pytest.skip("needs more devices")
+        opts["P"] = P
+    params = ArmonParameters(**opts)
+    state = make_init(params)()
+    E = np.asarray(state.E).copy()
+    # Poison one cell that is REAL in both layouts: (g+5, g+5) sits in the
+    # first shard's interior (under SPMD the state is the stack of padded
+    # shard blocks, so the array center would be a ghost ring).
+    g = params.nghost
+    E[g + 5, g + 5] = np.nan
+    state = state._replace(E=jax.numpy.asarray(E))
+    state, t, cycles, dt, lm, ok = make_jit_loop(params)(state)
+    assert not bool(ok), "NaN state did not invalidate the time step"
+    assert int(cycles) <= 2, f"abort took {int(cycles)} cycles"

@@ -43,11 +43,26 @@ def test_sedov_f32_constants_round_once():
                              / float(T(math.pi) * case.r ** 2))
 
 
-def test_nghost_validation():
-    # min_nghost = stencil(riemann) * stencil(projection) (src/parameters.jl:609-613)
-    with pytest.raises(SolverException, match="ghost"):
-        ArmonParameters(test="Sod", scheme="GAD", projection="euler_2nd", nghost=3)
-    ArmonParameters(test="Sod", scheme="Godunov", projection="euler", nghost=1)
+def test_nghost_floor_is_sum():
+    """min_nghost = stencil(riemann) + stencil(projection) — deliberately
+    TIGHTER than the reference's product rule (`src/parameters.jl:609-613`).
+    The product under-counts the real dependency depth: the fluxes range
+    extends stencil(projection)+1 past the real domain
+    (`src/parameters.jl:1008`) and GAD reads one more cell on each side
+    (`src/riemann_schemes.jl:66-81`), so e.g. GAD+euler at the product
+    floor (2) makes the last real cell read PAST the ghost band (measured:
+    NaN pad reads in the fused tier, wrapped rows in the jnp tier). The
+    rules coincide at GAD+euler_2nd (4) — the only floor the reference's
+    suite exercises."""
+    for scheme, projection, floor in [("GAD", "euler_2nd", 4),
+                                      ("GAD", "euler", 3),
+                                      ("Godunov", "euler_2nd", 3),
+                                      ("Godunov", "euler", 2)]:
+        with pytest.raises(SolverException, match="ghost"):
+            ArmonParameters(test="Sod", scheme=scheme, projection=projection,
+                            nghost=floor - 1)
+        ArmonParameters(test="Sod", scheme=scheme, projection=projection,
+                        nghost=floor)
 
 
 def test_cst_dt_requires_Dt():

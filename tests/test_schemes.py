@@ -111,9 +111,35 @@ def test_dt_on_even_cycles():
     assert dts[4] != dts[5]
 
 
-def test_godunov_scheme_min_ghosts():
-    """Godunov + euler needs only 1 ghost (stencil product = 1)."""
-    params = reference_params("Sod", np.float64, N=(64, 64), maxcycle=10,
-                              scheme="Godunov", projection="euler", nghost=1)
-    host, cycles, dt, t = run(params)
-    assert cycles == 10 and np.isfinite(dt)
+@pytest.mark.parametrize("scheme,projection,floor,tier", [
+    ("Godunov", "euler", 2, "jnp"),
+    ("Godunov", "euler_2nd", 3, "jnp"),
+    ("GAD", "euler", 3, "jnp"),
+    ("GAD", "euler", 3, "pallas"),
+    ("GAD", "euler_2nd", 4, "pallas"),
+])
+def test_min_ghost_run_matches_deep_ghost(scheme, projection, floor, tier):
+    """A run at the minimum ghost depth (stencil sum — see
+    test_params.test_nghost_floor_is_sum) must be BIT-identical on the
+    real cells to the same run with the default deep ghost band: every
+    read of the scheme stays inside the band, so extra ghost rings can't
+    change anything. This is the gate that catches an under-counted
+    stencil floor (at the reference's product floor the edge real cells
+    read wrap/pad garbage and this equality breaks)."""
+    def real(nghost):
+        params = reference_params("Sod_circ", np.float64, N=(64, 53),
+                                  maxcycle=10, scheme=scheme,
+                                  projection=projection, nghost=nghost,
+                                  kernel_tier=tier)
+        host, cycles, dt, t = run(params)
+        assert cycles == 10 and np.isfinite(dt)
+        g = params.nghost
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E")}, dt
+
+    shallow, dt_s = real(floor)
+    deep, dt_d = real(6)
+    assert dt_s == dt_d
+    for v in shallow:
+        assert np.array_equal(shallow[v], deep[v]), \
+            f"{scheme}+{projection} nghost={floor} vs 6: {v} differs"
