@@ -76,8 +76,6 @@ _UNSET = object()
 
 
 def _scalars(params, t, cycles, dt_prev, local_min):
-    if local_min is _UNSET:
-        local_min = getattr(params, "_final_local_min", None)
     return dict(
         __fingerprint=np.array(_fingerprint(params)),
         __t=np.asarray(t), __cycles=np.int64(cycles),
@@ -97,6 +95,25 @@ def save_checkpoint(path, params, state, t, cycles, dt_prev,
     cfg = params.config
     if per_shard is None:
         per_shard = cfg.spmd and params.use_MPI
+    if local_min is _UNSET:
+        local_min = getattr(params, "_final_local_min", None)
+        from ..core.step import use_fused_tier
+        if local_min is None and use_fused_tier(cfg):
+            # The fused kernels never write the sound speed back, so this
+            # state's c is frozen at its cycle-0 EOS value: a resume would
+            # reseed the dt from it and SILENTLY diverge from the
+            # uninterrupted run (found by the resume fuzz,
+            # tests/test_option_fuzz.py). The carry is recorded on the
+            # params object that ran (`armon()` sets _final_local_min);
+            # saving through a fresh params needs it passed explicitly.
+            solver_error(
+                "config",
+                "saving a fused-tier state without its CFL carry: pass "
+                "local_min= (e.g. from the params object that ran the "
+                "solve) — the fused state's sound speed is cycle-0 stale "
+                "and cannot reseed the time step bit-exactly. Pass "
+                "local_min=None explicitly to accept a non-bit-exact "
+                "resume.")
     scalars = _scalars(params, t, cycles, dt_prev, local_min)
 
     if per_shard and cfg.spmd:

@@ -129,3 +129,72 @@ def test_divergence_aborts_run(tier, P):
     state, t, cycles, dt, lm, ok = make_jit_loop(params)(state)
     assert not bool(ok), "NaN state did not invalidate the time step"
     assert int(cycles) <= 2, f"abort took {int(cycles)} cycles"
+
+
+@pytest.mark.parametrize("seed", range(100, 106))
+def test_random_option_resume_bit_exact(seed, tmp_path):
+    """Checkpoint/resume equivalence across the sampled option space: a
+    straight 7-cycle run must be BIT-identical to 3 cycles + snapshot +
+    resume for the remaining 4 — including the spicy interactions no
+    hand-written restart test pairs up (dt_on_even_cycles resuming at an
+    odd cycle, cst_dt, fused-tier strip carries, meshes)."""
+    from armon_tpu import armon
+    from armon_tpu.io.restart import save_checkpoint
+
+    opts = _sample(random.Random(20260818 + seed))
+    opts.update(maxcycle=7, return_data=True)
+    needed = int(np.prod(opts.get("P", (1, 1))))
+    if len(jax.devices()) < needed:
+        pytest.skip(f"needs {needed} devices")
+    label = {k: (v.__name__ if isinstance(v, type) else v)
+             for k, v in opts.items()}
+
+    ref = armon(ArmonParameters(**opts))
+
+    # The save must go through the params object that RAN: it records the
+    # fused tier's CFL carry (a fresh params has none, and save_checkpoint
+    # refuses carry-less fused saves — see test_carryless_fused_save_refused).
+    p1 = ArmonParameters(**{**opts, "maxcycle": 3})
+    part = armon(p1)
+    ckpt = tmp_path / "fuzz.ckpt.npz"
+    save_checkpoint(ckpt, p1, part.data, part.final_time, part.cycles,
+                    part.last_dt)
+    p2 = ArmonParameters(**opts)
+    res = armon(p2, restore_from=str(ckpt))
+
+    assert res.cycles == ref.cycles, label
+    assert res.final_time == ref.final_time, label
+    assert res.last_dt == ref.last_dt, label
+    pref = ArmonParameters(**opts)
+    a = gather_state(pref, ref.data)
+    b = gather_state(p2, res.data)
+    g = pref.nghost
+    for var in ("rho", "u", "v", "E"):
+        x = np.asarray(getattr(a, var))[g:-g, g:-g]
+        y = np.asarray(getattr(b, var))[g:-g, g:-g]
+        assert np.array_equal(x, y), f"{var}: {label}"
+
+
+def test_carryless_fused_save_refused(tmp_path):
+    """Saving a fused-tier state through a params object that never ran
+    must raise: no CFL carry was recorded, the fused state's sound speed
+    is cycle-0 stale, and a resume would silently diverge (the seed-103
+    resume-fuzz finding). Explicit local_min=None stays allowed (the
+    documented non-bit-exact escape hatch)."""
+    from armon_tpu import armon
+    from armon_tpu.io.restart import save_checkpoint
+    from armon_tpu.utils.errors import SolverException
+
+    opts = dict(test="Sod", N=(48, 48), data_type=np.float64, maxcycle=3,
+                silent=5, write_output=False, measure_time=False,
+                kernel_tier="pallas", return_data=True)
+    ran = ArmonParameters(**opts)
+    stats = armon(ran)
+    fresh = ArmonParameters(**opts)  # never ran: no recorded carry
+    with pytest.raises(SolverException, match="carry"):
+        save_checkpoint(tmp_path / "x.npz", fresh, stats.data,
+                        stats.final_time, stats.cycles, stats.last_dt)
+    # explicit opt-out still writes
+    save_checkpoint(tmp_path / "y.npz", fresh, stats.data,
+                    stats.final_time, stats.cycles, stats.last_dt,
+                    local_min=None)
