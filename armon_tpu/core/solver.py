@@ -485,22 +485,24 @@ def _checkpointed_cycle(params, fns, state, dt_prev, cycle_idx, checkpoint,
         return state, dt_use, dt_next, ok, True
 
     schedule = even if cycle_idx % 2 == 0 else odd
+    seen = {}  # per-axis sweep count within this cycle (Strang repeats one)
     for axis, factor in schedule:
+        rep = seen[axis] = seen.get(axis, 0) + 1
         dt = T(dt_use) * T(factor)
         state = fns[("eos", axis)](state)
-        if checkpoint("EOS", state, axis, dt, cycle_idx):
+        if checkpoint("EOS", state, axis, dt, cycle_idx, rep):
             return state, dt_use, dt_next, ok, True
         state = fns[("bc", axis)](state)
-        if checkpoint("boundary_conditions", state, axis, dt, cycle_idx):
+        if checkpoint("boundary_conditions", state, axis, dt, cycle_idx, rep):
             return state, dt_use, dt_next, ok, True
         state = fns[("fluxes", axis)](state, dt)
-        if checkpoint("numerical_fluxes", state, axis, dt, cycle_idx):
+        if checkpoint("numerical_fluxes", state, axis, dt, cycle_idx, rep):
             return state, dt_use, dt_next, ok, True
         state = fns[("update", axis)](state, dt)
-        if checkpoint("cell_update", state, axis, dt, cycle_idx):
+        if checkpoint("cell_update", state, axis, dt, cycle_idx, rep):
             return state, dt_use, dt_next, ok, True
         state = fns[("remap", axis)](state, dt)
-        if checkpoint("projection_remap", state, axis, dt, cycle_idx):
+        if checkpoint("projection_remap", state, axis, dt, cycle_idx, rep):
             return state, dt_use, dt_next, ok, True
     return state, dt_use, dt_next, ok, False
 
@@ -811,10 +813,16 @@ def make_file_checkpoint(params):
     from ..io.output import write_state_file, read_state_file
     cfg = params.config
 
-    def checkpoint(label, state, axis, dt, cycle):
+    def checkpoint(label, state, axis, dt, cycle, rep=1):
         # cycle-0 time_step files are tagged X (src/io.jl:193-198)
         axis_char = "X" if axis is Axis.X else "Y"
-        name = f"{params.output_file}_{cycle:03d}_{label}_{axis_char}"
+        # `rep` disambiguates an axis swept twice in one cycle (Strang's
+        # (X, Y, X)): the reference's `_%03d_label_axis` naming
+        # (`src/io.jl:192-198`) makes the two half-sweeps COLLIDE on one
+        # file — its compare mode cannot work under Strang. Suffix the
+        # repeat only, so every non-Strang name stays reference-exact.
+        rep_tag = "" if rep == 1 else f"_{rep}"
+        name = f"{params.output_file}_{cycle:03d}_{label}_{axis_char}{rep_tag}"
         path = os.path.join(params.output_dir, name)
         if label == "time_step":
             if params.is_ref:
@@ -823,7 +831,10 @@ def make_file_checkpoint(params):
                             % dt)
                 return False
             with open(path) as f:
-                ref_dt = float(f.read().strip())
+                # parse to the run's dtype like the reference's
+                # `parse(T, ...)` (src/io.jl:198-203): 9 decimal digits
+                # round-trip an f32 exactly only when read back AS f32.
+                ref_dt = float(np.dtype(cfg.dtype).type(f.read().strip()))
             # Julia isapprox semantics (src/io.jl:210), same formula as
             # count_differences — NaN-safe: a NaN dt compares different.
             tol = params.comparison_tolerance * max(abs(ref_dt), abs(dt))

@@ -66,6 +66,11 @@ def _sample(rng):
     if opts["kernel_tier"] == "pallas":
         # both routings: whole-cycle pair kernel and per-sweep kernels
         opts["pair_threshold"] = rng.choice([0, 2048])
+        if rng.random() < 0.4:
+            # randomize the tile GEOMETRY too: short chunks, ragged and
+            # sub-8-row tails against the inline-BC / strip-plan gates
+            # (the history of real bugs here is all geometry)
+            opts["block_size"] = (9999, int(rng.choice([16, 24, 32, 48])))
     return opts
 
 
@@ -198,3 +203,26 @@ def test_carryless_fused_save_refused(tmp_path):
     save_checkpoint(tmp_path / "y.npz", fresh, stats.data,
                     stats.final_time, stats.cycles, stats.last_dt,
                     local_min=None)
+
+
+@pytest.mark.parametrize("seed", range(200, 205))
+def test_random_option_compare_roundtrip(seed, tmp_path):
+    """step_checkpoint write-then-compare must round-trip CLEAN for any
+    configuration (`src/io.jl:185-227`): an is_ref=True run writes every
+    sub-step state (per-shard `_<cx>×<cy>` files under SPMD), and an
+    identical is_ref=False run must compare equal at every sub-step and
+    complete all its cycles."""
+    from armon_tpu import armon
+
+    opts = _sample(random.Random(20260818 + seed))
+    opts.update(maxcycle=4, compare=True, output_dir=str(tmp_path),
+                output_file="step", return_data=True)
+    needed = int(np.prod(opts.get("P", (1, 1))))
+    if len(jax.devices()) < needed:
+        pytest.skip(f"needs {needed} devices")
+    label = {k: (v.__name__ if isinstance(v, type) else v)
+             for k, v in opts.items()}
+
+    armon(ArmonParameters(is_ref=True, **opts))
+    s = armon(ArmonParameters(is_ref=False, **opts))
+    assert s.cycles == 4, f"compare stopped early (mismatch): {label}"
