@@ -226,3 +226,48 @@ def test_random_option_compare_roundtrip(seed, tmp_path):
     armon(ArmonParameters(is_ref=True, **opts))
     s = armon(ArmonParameters(is_ref=False, **opts))
     assert s.cycles == 4, f"compare stopped early (mismatch): {label}"
+
+
+@pytest.mark.parametrize("seed", range(300, 305))
+def test_random_option_output_roundtrip(seed, tmp_path):
+    """Output I/O across the option space: a full run's written state file
+    must read back EXACTLY (exact-decimal default precision), and the
+    native C++ writer must stay byte-identical to the Python formatter at
+    a RANDOM precision (the parity no fixed-config test can claim for the
+    whole precision range)."""
+    from armon_tpu.io.output import write_state_file, read_state_file
+    from armon_tpu.io import native
+    from armon_tpu import armon
+
+    rng = random.Random(20260818 + seed)
+    opts = _sample(rng)
+    opts.pop("P", None)  # per-shard layout has its own windowed gates
+    opts.update(maxcycle=4, return_data=True)
+    params = ArmonParameters(**opts)
+    cfg = params.config
+    label = {k: (v.__name__ if isinstance(v, type) else v)
+             for k, v in opts.items()}
+
+    stats = armon(params)
+    host = gather_state(params, stats.data)
+
+    path = str(tmp_path / "out.csv")
+    write_state_file(cfg, host, path)
+    back = read_state_file(cfg, path)
+    from armon_tpu.io.output import saved_vars_arrays, SAVED_VARS
+    arrs = saved_vars_arrays(cfg, host)
+    for v in SAVED_VARS:
+        assert np.array_equal(back[v], arrs[v]), f"{v}: {label}"
+
+    if native.available():
+        prec = rng.choice([3, 6, 9, 12, 17])
+        p_nat, p_py = str(tmp_path / "n.csv"), str(tmp_path / "p.csv")
+        write_state_file(cfg, host, p_nat, precision=prec)
+        orig = native.write_cells
+        native.write_cells = lambda *a, **k: False
+        try:
+            write_state_file(cfg, host, p_py, precision=prec)
+        finally:
+            native.write_cells = orig
+        assert open(p_nat, "rb").read() == open(p_py, "rb").read(), \
+            f"native/python divergence at precision {prec}: {label}"
