@@ -57,10 +57,19 @@ def _sample(rng):
     P = rng.choice([None, (2, 1), (1, 2), (2, 2), (3, 2)])
     if P is not None:
         opts["P"] = P
-    # dt modes: default CFL recurrence / constant dt / even-cycle reuse
+        if rng.random() < 0.5:
+            # distributed-I/O rule: per-shard `_<cx>×<cy>` snapshot and
+            # output layout (io/subdomain.py) instead of gathered files
+            opts["use_MPI"] = True
+    # dt modes: default CFL recurrence / constant dt / even-cycle reuse.
+    # cst_dt trusts the user's dt (no CFL guard, reference semantics), so
+    # the fixed value must sit under each case's CFL limit — Bizarrium's
+    # stiff EOS runs at c ~ 1e4 (dt ~ 1e-8 at these grids), Sedov's blast
+    # center at c ~ 1e2.
     mode = rng.random()
     if mode < 0.2:
-        opts.update(cst_dt=True, Dt=1e-5)
+        stable_dt = {"Bizarrium": 1e-9, "Sedov": 1e-7}.get(opts["test"], 1e-5)
+        opts.update(cst_dt=True, Dt=stable_dt)
     elif mode < 0.45:
         opts["dt_on_even_cycles"] = True
     if opts["kernel_tier"] == "pallas":
