@@ -123,7 +123,14 @@ def use_fused_tier(cfg) -> bool:
     - 'auto' (the default): compiled Mosaic when it is the fast path
       (f32 on a real TPU); the jnp tier otherwise — interpreted Pallas on
       CPU is only for testing, and emulated-f64 runs are jnp either way.
+    - degenerate grids shorter than one 8-row sublane block
+      (ny + 2*nghost < 8) fall back to the jnp tier: the Y-sweep halo
+      machinery works in fixed 8-row strips (`_halo_strips`,
+      `ops/pallas/sweep.py`), which cannot be cut from a shorter array
+      (found by the tiny-grid fuzz, tests/test_option_fuzz.py).
     """
+    if cfg.n_local[1] + 2 * cfg.nghost < 8:
+        return False
     if cfg.kernel_tier == "auto":
         return not _pallas_interpret(cfg) and np.dtype(cfg.dtype).itemsize == 4
     if cfg.kernel_tier != "pallas":

@@ -280,3 +280,41 @@ def test_random_option_output_roundtrip(seed, tmp_path):
             native.write_cells = orig
         assert open(p_nat, "rb").read() == open(p_py, "rb").read(), \
             f"native/python divergence at precision {prec}: {label}"
+
+
+@pytest.mark.parametrize("seed", range(400, 408))
+def test_random_tiny_grid(seed):
+    """Degenerate extents: grids barely wider than the ghost band push the
+    tile planner, the inline-BC gates (nx >= nghost), ragged tails and the
+    pair-kernel routing through their guard branches. Tier equivalence is
+    the oracle: the fused kernels must match the jnp ops bit-tight."""
+    rng = random.Random(20260818 + seed)
+    opts = _sample(rng)
+    opts.pop("P", None)
+    opts.pop("use_MPI", None)
+    opts.pop("block_size", None)
+    g = opts["nghost"]
+    opts["N"] = (rng.choice([max(2, g - 1), g, g + 1, 2 * g, 17]),
+                 rng.choice([max(2, g - 1), g, g + 1, 2 * g, 23]))
+    opts["data_type"] = np.float64  # strict tier gate
+    opts["maxcycle"] = 5
+    label = dict(opts)
+
+    def run(tier, **kw):
+        p = ArmonParameters(**{**opts, "kernel_tier": tier, **kw})
+        state = make_init(p)()
+        state, t, cycles, dt, lm, ok = make_jit_loop(p)(state)
+        assert bool(ok), f"{tier}: invalid dt: {label}"
+        assert int(cycles) == 5, f"{tier}: stopped early: {label}"
+        host = gather_state(p, state)
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E")}, float(dt)
+
+    a, dt_a = run("jnp")
+    for routing in ({"pair_threshold": 0}, {"pair_threshold": 4096}):
+        b, dt_b = run("pallas", **routing)
+        assert abs(dt_a - dt_b) <= 1e-12 * abs(dt_a), (label, routing)
+        for v in a:
+            assert np.allclose(a[v], b[v], rtol=1e-11, atol=1e-13), \
+                f"{v}: {label} {routing}"
+            assert np.all(np.isfinite(b[v])), f"{v} not finite: {label}"
