@@ -119,6 +119,23 @@ def main():
         same = all(np.array_equal(base92[v], other[v]) for v in base92)
         check(f"short-tail chunk invariance {kw} (bit-identical)", same)
 
+    # Minimum-ghost-floor equality on compiled Mosaic: a run at the
+    # stencil-SUM floor (GAD+euler -> nghost=3; the reference's product
+    # rule under-counts here, see params.py) must be bit-identical on the
+    # real cells to a deep-ghost run — every read stays inside the band.
+    def run_floor(g):
+        p = ArmonParameters(test="Sod_circ", N=(64, 53), scheme="GAD",
+                            projection="euler", nghost=g,
+                            data_type=np.float32, maxcycle=300, silent=5,
+                            measure_time=False, return_data=True)
+        host = gather_state(p, armon(p).data)
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E")}
+
+    floor3, deep6 = run_floor(3), run_floor(6)
+    check("min-ghost floor (GAD+euler nghost=3) == deep ghosts (bit)",
+          all(np.array_equal(floor3[v], deep6[v]) for v in floor3))
+
     # TPU f64 is software-emulated and does NOT meet the strict f64 gates
     # (strict validation runs on CPU in the pytest suite); hold it to the
     # f32 ladder here.
