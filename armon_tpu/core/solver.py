@@ -294,6 +294,7 @@ def _python_cycle_driver(params, state, checkpoint=None, solver_log=None,
 
     from .step import use_fused_tier
     fused = use_fused_tier(cfg) and checkpoint is None
+    params._ran_fused = fused
     # Non-fused resume from a fused-tier checkpoint: the saved CFL carry
     # overrides the first cycle's state reduction (state.c is stale).
     resume_lm = None if fused else local_min
@@ -488,21 +489,26 @@ def _checkpointed_cycle(params, fns, state, dt_prev, cycle_idx, checkpoint,
     seen = {}  # per-axis sweep count within this cycle (Strang repeats one)
     for axis, factor in schedule:
         rep = seen[axis] = seen.get(axis, 0) + 1
+        # `rep` rides a kwarg ONLY for a repeated axis (Strang's third
+        # sweep), so user-supplied 5-arg checkpoint hooks keep working on
+        # every schedule that has no repeats.
+        rkw = {"rep": rep} if rep > 1 else {}
         dt = T(dt_use) * T(factor)
         state = fns[("eos", axis)](state)
-        if checkpoint("EOS", state, axis, dt, cycle_idx, rep):
+        if checkpoint("EOS", state, axis, dt, cycle_idx, **rkw):
             return state, dt_use, dt_next, ok, True
         state = fns[("bc", axis)](state)
-        if checkpoint("boundary_conditions", state, axis, dt, cycle_idx, rep):
+        if checkpoint("boundary_conditions", state, axis, dt, cycle_idx,
+                      **rkw):
             return state, dt_use, dt_next, ok, True
         state = fns[("fluxes", axis)](state, dt)
-        if checkpoint("numerical_fluxes", state, axis, dt, cycle_idx, rep):
+        if checkpoint("numerical_fluxes", state, axis, dt, cycle_idx, **rkw):
             return state, dt_use, dt_next, ok, True
         state = fns[("update", axis)](state, dt)
-        if checkpoint("cell_update", state, axis, dt, cycle_idx, rep):
+        if checkpoint("cell_update", state, axis, dt, cycle_idx, **rkw):
             return state, dt_use, dt_next, ok, True
         state = fns[("remap", axis)](state, dt)
-        if checkpoint("projection_remap", state, axis, dt, cycle_idx, rep):
+        if checkpoint("projection_remap", state, axis, dt, cycle_idx, **rkw):
             return state, dt_use, dt_next, ok, True
     return state, dt_use, dt_next, ok, False
 
@@ -671,6 +677,11 @@ def armon(params: ArmonParameters, checkpoint=None,
     # checkpoint saves (io/restart._scalars). Reset so a save after THIS
     # run can never pick up a previous run's carry on a reused params.
     params._final_local_min = None
+    # Provenance of the state this run produces: True = the fused drivers
+    # ran (state.c is cycle-0 stale, a save NEEDS the carry), False = a
+    # non-fused driver ran (state.c reseeds the dt bit-exactly), None =
+    # unknown (save_checkpoint refuses carry-less saves, io/restart.py).
+    params._ran_fused = None
 
     if params.silent < 3:
         print(params.describe())
@@ -726,6 +737,8 @@ def armon(params: ArmonParameters, checkpoint=None,
             else:
                 state, t, cycles, last_dt, final_lm, ok = loop(state)
             params._final_local_min = float(np.asarray(final_lm))
+            from .step import use_fused_tier
+            params._ran_fused = use_fused_tier(cfg)
             # On some PJRT backends block_until_ready does not synchronize;
             # a host read does.
             final_t, cycles, last_dt = float(t), int(cycles), float(last_dt)

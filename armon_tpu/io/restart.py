@@ -97,23 +97,29 @@ def save_checkpoint(path, params, state, t, cycles, dt_prev,
         per_shard = cfg.spmd and params.use_MPI
     if local_min is _UNSET:
         local_min = getattr(params, "_final_local_min", None)
-        from ..core.step import use_fused_tier
-        if local_min is None and use_fused_tier(cfg):
-            # The fused kernels never write the sound speed back, so this
-            # state's c is frozen at its cycle-0 EOS value: a resume would
-            # reseed the dt from it and SILENTLY diverge from the
-            # uninterrupted run (found by the resume fuzz,
-            # tests/test_option_fuzz.py). The carry is recorded on the
-            # params object that ran (`armon()` sets _final_local_min);
-            # saving through a fresh params needs it passed explicitly.
+        # Key the refusal on how the state was actually PRODUCED
+        # (`params._ran_fused`, recorded by the driver that ran), not on
+        # the saving params' configured tier: a fused-run state saved
+        # through a jnp-tier params is just as stale (the tier-neutral
+        # fingerprint loads it anywhere), and a pallas-tier params that
+        # ran the non-fused per-step driver (compare mode) holds a fresh
+        # sound speed that reseeds bit-exactly.
+        if local_min is None and getattr(params, "_ran_fused",
+                                         None) is not False:
+            # Fused kernels never write the sound speed back, so a
+            # fused-run state's c is frozen at its cycle-0 EOS value: a
+            # resume would reseed the dt from it and SILENTLY diverge
+            # from the uninterrupted run (found by the resume fuzz,
+            # tests/test_option_fuzz.py). A params that never ran cannot
+            # establish the state's provenance — refuse that too.
             solver_error(
                 "config",
-                "saving a fused-tier state without its CFL carry: pass "
-                "local_min= (e.g. from the params object that ran the "
-                "solve) — the fused state's sound speed is cycle-0 stale "
-                "and cannot reseed the time step bit-exactly. Pass "
-                "local_min=None explicitly to accept a non-bit-exact "
-                "resume.")
+                "saving a state without its CFL carry: save through the "
+                "params object that RAN the solve (it records the carry "
+                "and the state's provenance), or pass local_min= "
+                "explicitly. A fused-tier state's sound speed is cycle-0 "
+                "stale and cannot reseed the time step bit-exactly; pass "
+                "local_min=None to accept a non-bit-exact resume.")
     scalars = _scalars(params, t, cycles, dt_prev, local_min)
 
     if per_shard and cfg.spmd:

@@ -32,8 +32,8 @@ CONSERVATIVE = {"Sod", "Sod_y", "Sod_circ"}  # gated in the reference's suite
 
 def _sample(rng):
     """One random valid configuration (all constraints of params.py held
-    by construction: nghost >= stencil(riemann) * stencil(projection),
-    shards always wider than the halo slab)."""
+    by construction: nghost >= stencil(riemann) + stencil(projection) —
+    the stencil-SUM floor — and shards always wider than the halo slab)."""
     scheme, limiter = rng.choice([
         ("Godunov", "no_limiter"),
         ("GAD", "no_limiter"), ("GAD", "minmod"), ("GAD", "superbee"),
@@ -318,3 +318,60 @@ def test_random_tiny_grid(seed):
             assert np.allclose(a[v], b[v], rtol=1e-11, atol=1e-13), \
                 f"{v}: {label} {routing}"
             assert np.all(np.isfinite(b[v])), f"{v} not finite: {label}"
+
+
+def test_provenance_not_saver_tier(tmp_path):
+    """The carry-less-save refusal keys on the state's PROVENANCE (how the
+    run that produced it executed), not the saving params' configured
+    tier: (a) a fused-run state saved through a jnp-tier params is just
+    as stale and must refuse; (b) a pallas-tier params that ran the
+    non-fused per-step driver (compare mode) holds a fresh sound speed —
+    its carry-less save must succeed and record 'no carry'."""
+    from armon_tpu import armon
+    from armon_tpu.io.restart import save_checkpoint, load_checkpoint
+    from armon_tpu.utils.errors import SolverException
+
+    kw = dict(test="Sod", N=(48, 48), data_type=np.float64, maxcycle=3,
+              silent=5, write_output=False, measure_time=False,
+              return_data=True)
+
+    # (a) fused state + fresh JNP-tier params: stale c rides through the
+    # tier-neutral fingerprint — must refuse.
+    ran = ArmonParameters(kernel_tier="pallas", **kw)
+    stats = armon(ran)
+    fresh_jnp = ArmonParameters(kernel_tier="jnp", **kw)
+    with pytest.raises(SolverException, match="carry"):
+        save_checkpoint(tmp_path / "a.npz", fresh_jnp, stats.data,
+                        stats.final_time, stats.cycles, stats.last_dt)
+
+    # (b) pallas params, but compare mode runs the NON-fused per-step
+    # driver: fresh c, no carry needed — must save cleanly via the params
+    # that ran.
+    d = tmp_path / "cmp"
+    d.mkdir()
+    p = ArmonParameters(kernel_tier="pallas", compare=True, is_ref=True,
+                        output_dir=str(d), output_file="s", **kw)
+    st = armon(p)
+    save_checkpoint(tmp_path / "b.npz", p, st.data, st.final_time,
+                    st.cycles, st.last_dt)
+    _, _, _, _, lm = load_checkpoint(tmp_path / "b.npz", p)
+    assert lm is None  # fresh-c state: 'no carry' is the exact resume
+
+
+def test_five_arg_user_checkpoint_hook():
+    """armon(params, checkpoint=fn) with a classic 5-arg hook must keep
+    working on schedules without repeated axes (every non-Strang
+    schedule); only Strang's repeated sweep requires accepting `rep`."""
+    from armon_tpu import armon
+
+    calls = []
+
+    def hook(label, state, axis, dt, cycle):  # no `rep` parameter
+        calls.append((label, cycle))
+        return False
+
+    p = ArmonParameters(test="Sod", N=(40, 40), data_type=np.float64,
+                        maxcycle=2, silent=5, write_output=False,
+                        measure_time=False)
+    armon(p, checkpoint=hook)
+    assert any(lbl == "EOS" for lbl, _ in calls)
