@@ -25,7 +25,13 @@ Two layouts:
   reconstruction does not preserve — both resume bit-exactly, since
   slack/ghost contents are dead or refilled before use).
 
-`load_checkpoint` auto-detects the layout on disk.
+`load_checkpoint` auto-detects the layout on disk, and snapshots are
+MESH-NEUTRAL: the fingerprint pins the numerics only, so a snapshot saved
+on any device layout restores onto any other (mesh -> single chip, single
+chip -> mesh, mesh -> different mesh) — elastic restarts the reference
+cannot express. Same-layout per-shard loads stay verbatim/O(shard); a
+layout CHANGE reassembles the global state from the shard files
+(O(global) host memory, `_reshard_load`) and re-decomposes it.
 
 Checkpoints are TIER-NEUTRAL: a snapshot saved from either kernel tier
 resumes in either tier. The subtlety is the sound speed — the fused
@@ -53,10 +59,24 @@ from ..utils.errors import solver_error
 
 
 def _fingerprint(params):
+    """NUMERICS fingerprint — everything that makes two solves a different
+    problem. Deliberately mesh-neutral (no proc_dims): a snapshot restores
+    onto ANY device layout — single chip, a different mesh shape — because
+    the decomposition never changes the numbers (invariant 2, sharded ==
+    single-device bit-exact)."""
     cfg = params.config
     return (f"{cfg.n_global}|{cfg.nghost}|{np.dtype(cfg.dtype).name}|"
             f"{cfg.test!r}|{cfg.riemann}|{cfg.limiter}|{cfg.projection}|"
-            f"{cfg.splitting}|{cfg.proc_dims}")
+            f"{cfg.splitting}")
+
+
+def _geom(cfg):
+    """The saving mesh's block geometry, recorded in per-shard files so a
+    loader can reassemble them without the saver's params: proc dims,
+    padded block shape, per-shard real extents, hi-edge real extents."""
+    return np.array(list(cfg.proc_dims) + list(cfg.local_shape)
+                    + list(cfg.n_local) + list(cfg.edge_cells),
+                    dtype=np.int64)
 
 
 def _shard_ckpt_path(path, coords):
@@ -127,7 +147,7 @@ def save_checkpoint(path, params, state, t, cycles, dt_prev,
         for coords, blocks in shard_coords_iter(params, state,
                                                 vars=State._fields):
             np.savez(_shard_ckpt_path(path, coords),
-                     **scalars,
+                     **scalars, __geom=_geom(cfg),
                      **{f"field_{v}": blocks[v] for v in State._fields})
         return
 
@@ -153,17 +173,104 @@ def _check_scalars(z, params, path):
 
 def load_checkpoint(path, params):
     """Read a snapshot back (auto-detecting global vs per-shard layout);
-    validates the config fingerprint. Returns
-    (device_state, t, cycles, dt_prev, local_min|None)."""
-    if not os.path.exists(path) or (params.config.spmd and
-                                    os.path.exists(_shard_ckpt_path(path, (0, 0)))):
-        return _load_per_shard(path, params)
+    validates the NUMERICS fingerprint only — the device layout is free to
+    differ. Returns (device_state, t, cycles, dt_prev, local_min|None).
 
+    Resharding restore: a snapshot saved on any mesh loads onto any other
+    (or onto a single device). The global layout is mesh-neutral by
+    construction (`host_to_device` shards it to the target); per-shard
+    files whose saved geometry differs from the target's go through
+    `_reshard_load`, which reassembles the globally-padded state from the
+    shard files (O(global) host memory — the one restore path that cannot
+    stay O(shard)) and re-decomposes it. Bit-exactness across the layout
+    change follows from invariant 2 (sharded == single-device bit-exact,
+    jnp tier); the fused tier's inter-tier ulp drift applies as usual."""
+    if os.path.exists(path) and not (params.config.spmd and
+                                     os.path.exists(_shard_ckpt_path(path, (0, 0)))):
+        from ..core.solver import host_to_device
+        with np.load(path, allow_pickle=False) as z:
+            meta = _check_scalars(z, params, path)
+            host = State(*[z[f"field_{name}"] for name in State._fields])
+        state = host_to_device(params, host)
+        return (state,) + meta
+
+    p00 = _shard_ckpt_path(path, (0, 0))
+    if not os.path.exists(p00):
+        solver_error("config", f"checkpoint {path} not found")
+    cfg = params.config
+    with np.load(p00, allow_pickle=False) as z:
+        saved_geom = z["__geom"] if "__geom" in z.files else None
+    same_layout = (cfg.spmd and saved_geom is not None
+                   and tuple(saved_geom[:4]) == (tuple(cfg.proc_dims)
+                                                 + tuple(cfg.local_shape)))
+    if same_layout:
+        return _load_per_shard(path, params)
+    if saved_geom is None:
+        solver_error("config",
+                     f"per-shard checkpoint {p00} predates the geometry "
+                     "record and cannot be resharded; load it with the "
+                     "mesh layout that wrote it")
+    return _reshard_load(path, params, saved_geom)
+
+
+def _reshard_load(path, params, geom):
+    """Load per-shard snapshot files written on a DIFFERENT mesh layout:
+    reassemble the globally-padded host state (real cells from every
+    shard's interior, global-border ghost bands and corners from the
+    border shards — the `gather_state` reconstruction, applied to files)
+    and re-decompose it onto the target layout with `host_to_device`."""
     from ..core.solver import host_to_device
-    with np.load(path, allow_pickle=False) as z:
-        meta = _check_scalars(z, params, path)
-        host = State(*[z[f"field_{name}"] for name in State._fields])
-    state = host_to_device(params, host)
+    cfg = params.config
+    g = cfg.nghost
+    nx, ny = cfg.n_global
+    px, py, lr, lc, nxl, nyl, ex, ey = (int(v) for v in geom)
+
+    fields = {v: np.zeros((ny + 2 * g, nx + 2 * g), cfg.dtype)
+              for v in State._fields}
+    meta = None
+    for by in range(py):
+        hy = ey if by == py - 1 else nyl
+        r0 = g + by * nyl
+        for bx in range(px):
+            wx = ex if bx == px - 1 else nxl
+            c0 = g + bx * nxl
+            spath = _shard_ckpt_path(path, (bx, by))
+            if not os.path.exists(spath):
+                solver_error("config",
+                             f"checkpoint shard file {spath} not found")
+            with np.load(spath, allow_pickle=False) as z:
+                m = _check_scalars(z, params, spath)
+                if meta is None:
+                    meta = m
+                elif m[:3] != meta[:3]:
+                    solver_error("config",
+                                 f"checkpoint shard {spath} carries "
+                                 f"different scalars than shard (0,0): "
+                                 f"{m} != {meta}")
+                for v in State._fields:
+                    blk = z[f"field_{v}"]
+                    out = fields[v]
+                    out[r0:r0 + hy, c0:c0 + wx] = blk[g:g + hy, g:g + wx]
+                    if by == 0:
+                        out[0:g, c0:c0 + wx] = blk[0:g, g:g + wx]
+                    if by == py - 1:
+                        out[g + ny:, c0:c0 + wx] = blk[g + hy:2 * g + hy,
+                                                       g:g + wx]
+                    if bx == 0:
+                        out[r0:r0 + hy, 0:g] = blk[g:g + hy, 0:g]
+                    if bx == px - 1:
+                        out[r0:r0 + hy, g + nx:] = blk[g:g + hy,
+                                                       g + wx:2 * g + wx]
+                    if by == 0 and bx == 0:
+                        out[:g, :g] = blk[:g, :g]
+                    if by == 0 and bx == px - 1:
+                        out[:g, g + nx:] = blk[:g, g + wx:2 * g + wx]
+                    if by == py - 1 and bx == 0:
+                        out[g + ny:, :g] = blk[g + hy:2 * g + hy, :g]
+                    if by == py - 1 and bx == px - 1:
+                        out[g + ny:, g + nx:] = blk[g + hy:2 * g + hy,
+                                                    g + wx:2 * g + wx]
+    state = host_to_device(params, State(**fields))
     return (state,) + meta
 
 

@@ -189,6 +189,81 @@ def test_random_option_resume_bit_exact(seed, tmp_path):
         assert np.array_equal(x, y), f"{var}: {label}"
 
 
+@pytest.mark.parametrize("seed", range(500, 504))
+def test_random_option_reshard_resume(seed, tmp_path):
+    """Elastic-restart fuzz: snapshot on one device layout, resume on a
+    DIFFERENT one — compared against an uninterrupted run on the target
+    layout. jnp tier only; the reassembly path
+    (`io/restart._reshard_load`) sees random schemes, splittings, dtypes,
+    uneven extents and dt modes.
+
+    Oracle strength is case-dependent: perfect-gas cases demand
+    bit-equality, Bizarrium/Sedov a tight allclose. Reason (measured, this
+    fuzz's seed 500): XLA CPU's whole-cycle fusion can contract FMAs
+    differently for different shard BLOCK SHAPES, so two layouts' jitted
+    drivers can differ by 1 ulp on value-dependent rounding edges — the
+    per-substep driver (smaller jits) shows ZERO cross-layout diffs on
+    the same config, pinning it as a compile artifact, not solver math.
+    The stiff Bizarrium EOS both hits the edges and amplifies the seed
+    (~2e-9 rel after 6 f64 cycles at N=(40,64), Strang). TPU Mosaic tiles
+    lanes uniformly (no scalar remainder), and the hardware golden gates
+    in scripts/tpu_validate.py hold bit-exactness there."""
+    from armon_tpu import armon
+    from armon_tpu.io.restart import save_checkpoint
+
+    rng = random.Random(20260818 + seed)
+    opts = _sample(rng)
+    opts.update(maxcycle=7, return_data=True, kernel_tier="jnp")
+    opts.pop("pair_threshold", None)
+    opts.pop("block_size", None)
+    opts.pop("use_MPI", None)
+    src = opts.pop("P", None)
+    layouts = [None, (2, 1), (1, 2), (2, 2), (3, 2)]
+    dst = rng.choice([p for p in layouts if p != src])
+    need = max(int(np.prod(src or (1,))), int(np.prod(dst or (1,))))
+    if len(jax.devices()) < need:
+        pytest.skip(f"needs {need} devices")
+    label = {**{k: (v.__name__ if isinstance(v, type) else v)
+                for k, v in opts.items()}, "src": src, "dst": dst}
+
+    dkw = {"P": dst} if dst else {}
+    pref = ArmonParameters(**{**opts, **dkw})
+    ref = armon(pref)
+
+    p1 = ArmonParameters(**{**opts, "maxcycle": 3,
+                            **({"P": src} if src else {})})
+    part = armon(p1)
+    ckpt = tmp_path / "reshard.ckpt.npz"
+    save_checkpoint(ckpt, p1, part.data, part.final_time, part.cycles,
+                    part.last_dt, per_shard=src is not None)
+
+    p2 = ArmonParameters(**{**opts, **dkw})
+    res = armon(p2, restore_from=str(ckpt))
+
+    exact = opts["test"] in CONSERVATIVE  # perfect gas: no FMA-edge seeds
+    f64 = np.dtype(ArmonParameters(**{**opts, **dkw}).config.dtype).itemsize == 8
+    rtol = 0.0 if exact else (1e-9 if f64 else 1e-4)
+    assert res.cycles == ref.cycles, label
+    if exact:
+        assert res.final_time == ref.final_time, label
+        assert res.last_dt == ref.last_dt, label
+    else:
+        assert np.isclose(res.final_time, ref.final_time,
+                          rtol=rtol, atol=0.0), label
+        assert np.isclose(res.last_dt, ref.last_dt, rtol=rtol,
+                          atol=0.0), label
+    a = gather_state(pref, ref.data)
+    b = gather_state(p2, res.data)
+    g = pref.nghost
+    for var in ("rho", "u", "v", "E"):
+        x = np.asarray(getattr(a, var))[g:-g, g:-g]
+        y = np.asarray(getattr(b, var))[g:-g, g:-g]
+        if exact:
+            assert np.array_equal(x, y), f"{var}: {label}"
+        else:
+            assert np.allclose(x, y, rtol=rtol, atol=rtol), f"{var}: {label}"
+
+
 def test_carryless_fused_save_refused(tmp_path):
     """Saving a fused-tier state through a params object that never ran
     must raise: no CFL carry was recorded, the fused state's sound speed

@@ -213,6 +213,44 @@ def test_checkpoint_step_per_shard(tmp_path):
     assert cycles == 4 and t > 0
 
 
+@pytest.mark.parametrize("src,dst,N", [
+    ((2, 2), None, (40, 40)),    # per-shard mesh snapshot -> single device
+    (None, (2, 2), (40, 40)),    # single-device global snapshot -> mesh
+    ((3, 2), (2, 2), (40, 39)),  # mesh -> different mesh, both-axes-uneven
+], ids=["mesh_to_single", "single_to_mesh", "mesh_to_mesh"])
+def test_reshard_resume(tmp_path, src, dst, N):
+    """Snapshots are MESH-NEUTRAL: the fingerprint pins the numerics only,
+    so a snapshot saved on one device layout resumes on another — and the
+    resumed run is BIT-identical to an uninterrupted run on the target
+    layout (invariant 2: the decomposition never changes the numbers).
+    Covers per-shard files resharded onto a single device, a global
+    snapshot decomposed onto a mesh, and a mesh->mesh layout change with
+    slack on both axes (`io/restart._reshard_load`)."""
+    if len(jax.devices()) < max(int(np.prod(src or (1,))),
+                                int(np.prod(dst or (1,)))):
+        pytest.skip("not enough devices")
+
+    dkw = {"P": dst} if dst else {}
+    ref_params, ref = full_run("Sod_circ", 12, N=N, **dkw)
+    p1, s1 = full_run("Sod_circ", 5, N=N, **({"P": src} if src else {}))
+    ckpt = tmp_path / "r.ckpt.npz"
+    save_checkpoint(ckpt, p1, s1.data, s1.final_time, s1.cycles, s1.last_dt,
+                    per_shard=src is not None)
+    if src is not None:
+        assert not ckpt.exists()  # genuinely loading from per-shard files
+
+    p2 = reference_params("Sod_circ", np.float64, maxcycle=12, N=N,
+                          return_data=True, **dkw)
+    s2 = armon(p2, restore_from=str(ckpt))
+    assert s2.cycles == ref.cycles and s2.last_dt == ref.last_dt
+    a = gather_state(ref_params, ref.data)
+    b = gather_state(p2, s2.data)
+    g = ref_params.nghost
+    for var in ("rho", "u", "v", "E"):
+        assert np.array_equal(getattr(a, var)[g:-g, g:-g],
+                              getattr(b, var)[g:-g, g:-g]), var
+
+
 def test_resume_sharded(tmp_path):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
