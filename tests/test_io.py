@@ -178,3 +178,70 @@ def test_spmd_compare_matches_single_device_refs(tmp_path):
     a = (tmp_path / "s" / "ck_000_time_step_X").read_text()
     b = (tmp_path / "m" / "ck_000_time_step_X").read_text()
     assert a == b
+
+
+def test_write_slices(tmp_path):
+    """`write_slices` — declared but UNDEFINED in the reference
+    (`src/parameters.jl:229,297` calls `write_slices_files`,
+    `src/solver.jl:508`, which does not exist); implemented here. Three
+    cuts (middle row, middle column, main diagonal), one file per cut,
+    full output precision: values must round-trip exactly against the
+    state the run wrote."""
+    params = reference_params(
+        "Sod_circ", np.float64, N=(24, 28), maxcycle=3, return_data=True,
+        write_output=False, write_slices=True,
+        output_dir=str(tmp_path), output_file="run")
+    stats = armon(params)
+    cfg = params.config
+    arrs = saved_vars_arrays(cfg, gather_state(params, stats.data))
+    ny, nx = arrs["x"].shape
+    expect = {
+        "X": (nx, {v: arrs[v][ny // 2, :] for v in SAVED_VARS}),
+        "Y": (ny, {v: arrs[v][:, nx // 2] for v in SAVED_VARS}),
+        "D": (min(nx, ny),
+              {v: np.diagonal(arrs[v])[: min(nx, ny)] for v in SAVED_VARS}),
+    }
+    for cut, (n, ref) in expect.items():
+        path = tmp_path / f"run_{cut}_slice"
+        assert path.exists(), cut
+        rows = [r for r in path.read_text().splitlines() if r.strip()]
+        assert len(rows) == n, cut
+        got = np.array([[np.float64(x) for x in r.split(",")] for r in rows])
+        for k, v in enumerate(SAVED_VARS):
+            assert np.array_equal(got[:, k], ref[v]), f"{cut}/{v}"
+
+
+def test_animation_frames(tmp_path):
+    """`animation_step=N` writes a frame every N cycles into `anim/`
+    (`src/solver.jl:370-374` semantics). Frame 0 (written at cycle 1)
+    must equal the final output of a maxcycle=1 run bit-for-bit."""
+    common = dict(N=(24, 24), output_file="mov")
+    params = reference_params("Sod", np.float64, maxcycle=5,
+                              animation_step=2,
+                              output_dir=str(tmp_path / "a"), **common)
+    armon(params)
+    frames = sorted(os.listdir(tmp_path / "a" / "anim"))
+    # frames at cycles 1, 3, 5 -> mov_000..002
+    assert frames == ["mov_000", "mov_001", "mov_002"]
+
+    p1 = reference_params("Sod", np.float64, maxcycle=1, write_output=True,
+                          output_dir=str(tmp_path / "b"), **common)
+    armon(p1)
+    assert ((tmp_path / "a" / "anim" / "mov_000").read_bytes()
+            == (tmp_path / "b" / "mov").read_bytes())
+
+
+def test_animation_frames_per_shard(tmp_path):
+    """On a `use_MPI` mesh, animation frames follow the distributed-output
+    rule: per-shard `_<cx>×<cy>` files, no gather."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    params = reference_params("Sod", np.float64, N=(24, 24), maxcycle=2,
+                              animation_step=1, P=(2, 2), use_MPI=True,
+                              output_dir=str(tmp_path), output_file="mov")
+    armon(params)
+    for frame in ("mov_000", "mov_001"):
+        for cx in range(2):
+            for cy in range(2):
+                assert (tmp_path / "anim" / f"{frame}_{cx}×{cy}").exists()
