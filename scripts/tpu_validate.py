@@ -8,7 +8,8 @@ Pallas). This script validates the *compiled Mosaic* path on a real TPU:
      (the reference's block-size matrix, test/convergence.jl:107-121)
   3. ragged-height run stays finite/physical
   4. f64 run (jnp fallback) matches the f64 golden gates
-  5. throughput sanity at 2048^2
+  5. checkpoint/resume bit-exactness through the compiled fused tier
+  6. throughput sanity at 2048^2 + the 16384-extent strip
 
 Run:  python scripts/tpu_validate.py       (takes ~15-25 min, mostly compiles)
 """
@@ -168,6 +169,36 @@ def main():
         check(f"Bizarrium compiled fast-EOS vs exact jnp tier ({label})",
               cyc_a == cyc_b and non_p < 5e-3,
               f"cycles={cyc_a}/{cyc_b} non-p normalized diff={non_p:.2e}")
+
+    # Checkpoint/resume through the COMPILED fused tier: the CFL carry
+    # (`_final_local_min`) and the save/load scalars must reproduce an
+    # uninterrupted run bit-exactly on real Mosaic kernels (the CPU suite
+    # gates this in interpret mode only). Shares the 100^2 f32 compile.
+    import tempfile
+    from armon_tpu.io.restart import save_checkpoint
+
+    def run_n(maxcycle, restore_from=None):
+        p = ArmonParameters(test="Sod_circ", N=(100, 100),
+                            data_type=np.float32, maxcycle=maxcycle,
+                            silent=5, measure_time=False, return_data=True)
+        return p, armon(p, restore_from=restore_from)
+
+    _, full = run_n(400)
+    p_half, half = run_n(200)
+    ckpt = os.path.join(tempfile.mkdtemp(), "tpu.ckpt.npz")
+    save_checkpoint(ckpt, p_half, half.data, half.final_time, half.cycles,
+                    half.last_dt)
+    p_res, res = run_n(400, restore_from=ckpt)
+    g = p_res.nghost
+    ha, hb = gather_state(p_res, res.data), gather_state(p_res, full.data)
+    # live fields only: the fused kernels never write c/p/work arrays
+    # back, so those hold different (dead) cycle-frozen values by design
+    same = (res.cycles == full.cycles and res.last_dt == full.last_dt
+            and all(np.array_equal(np.asarray(getattr(ha, v))[g:-g, g:-g],
+                                   np.asarray(getattr(hb, v))[g:-g, g:-g])
+                    for v in ("rho", "u", "v", "E")))
+    check("checkpoint/resume on compiled Mosaic (bit-exact)", bool(same),
+          f"cycles={res.cycles}/{full.cycles}")
 
     import bench
     v, el, ran = bench.bench(n=2048, dtype=np.float32, cycles=100)
