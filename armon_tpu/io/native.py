@@ -48,6 +48,11 @@ def _load():
     lib.armon_read_cells.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long,
         ctypes.c_long]
+    lib.armon_read_window.restype = ctypes.c_long
+    lib.armon_read_window.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long]
     lib.armon_count_differences.restype = ctypes.c_long
     lib.armon_count_differences.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
@@ -95,6 +100,26 @@ def read_cells(path, expected_vals, skip_lines=0):
     if n < 0:
         raise IOError(f"native read failed ({n}) for {path}")
     return out[:n]
+
+
+def read_window(path, nvars, gnx, row0, col0, hy, wx, skip_lines=0):
+    """Stream a global-domain CSV and return only the (hy*wx, nvars)
+    cell-major window (native tier of
+    `io/subdomain.read_global_file_window`). Returns None when the native
+    library is unavailable; raises on a short line. UNDERFILL (truncated
+    file / layout mismatch) is returned as (array, filled) for the caller
+    to diagnose with its own context."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((hy * wx, nvars), np.float64)
+    n = lib.armon_read_window(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        nvars, gnx, row0, col0, hy, wx, skip_lines)
+    if n < 0:
+        raise IOError(f"native window read failed ({n}) for {path}")
+    return out, int(n)
 
 
 def count_differences(ref, ours, atol, rtol):

@@ -127,14 +127,35 @@ def read_global_file_window(cfg, path, coords, skip_header=False,
     hy = rs.stop - rs.start
     wx = cs.stop - cs.start
 
+    header = None
+    if skip_header:
+        with open(path) as f:
+            header = f.readline().strip()
+
+    # Native fast path (armon_read_window): same streaming walk at disk
+    # speed — the sharded golden comparator re-streams the file once PER
+    # SHARD, so this is its inner loop.
+    from . import native
+    nat = native.read_window(path, len(SAVED_VARS), gnx,
+                             row0, col0, hy, wx,
+                             skip_lines=1 if skip_header else 0)
+    if nat is not None:
+        flat, filled = nat
+        if filled != hy * wx:
+            solver_error("config",
+                         f"global file {path} ended before shard {coords}'s "
+                         f"window was filled ({filled}/{hy * wx} cells — "
+                         f"truncated file, or a grid/ghost-layout mismatch?)")
+        win = flat.astype(cfg.dtype).reshape(hy, wx, len(SAVED_VARS))
+        return header, {v: win[:, :, k] for k, v in enumerate(SAVED_VARS)}
+
     T = np.dtype(cfg.dtype).type
     out = {v: np.empty((hy, wx), cfg.dtype) for v in SAVED_VARS}
-    header = None
     row = 0          # global cell-row index in the file
     filled = 0       # window cells actually read (underfill guard)
     with open(path) as f:
         if skip_header:
-            header = f.readline().strip()
+            f.readline()
         cell = 0     # cell index within the current row
         for line in f:
             line = line.strip()

@@ -122,6 +122,66 @@ long armon_read_cells(const char* path, double* out, long max_vals,
     return n;
 }
 
+// Stream a GLOBAL-domain CSV and fill only the (hy x wx) window whose
+// top-left cell sits at cell-row `row0` / cell-column `col0` of a
+// `gnx`-cells-wide grid (the native tier of
+// `io/subdomain.read_global_file_window` — host memory O(window), the
+// per-shard golden comparator's inner loop). `out` receives hy*wx cells
+// of `nvars` ','-separated fields each, cell-major (hy*wx, nvars).
+// Lines with no leading number (pm3d blank separators) are skipped;
+// `skip_lines` initial lines are ignored (headers). Returns the number
+// of window CELLS filled (the caller checks for underfill — a truncated
+// file or a grid/ghost-layout mismatch), or negative on error.
+long armon_read_window(const char* path, double* out, long nvars,
+                       long gnx, long row0, long col0, long hy, long wx,
+                       long skip_lines) {
+    CLocaleGuard loc;
+    FILE* f = fopen(path, "r");
+    if (!f) return -1;
+    setvbuf(f, nullptr, _IOFBF, 1 << 22);
+
+    char line[4096];
+    long lineno = 0;
+    long row = 0;   // global cell-row index among data lines
+    long cell = 0;  // cell index within the current row
+    long filled = 0;
+    while (fgets(line, sizeof(line), f)) {
+        size_t len = strlen(line);
+        if (len == sizeof(line) - 1 && line[len - 1] != '\n') {
+            fclose(f);
+            return -3;  // line straddles the buffer (see armon_read_cells)
+        }
+        lineno++;
+        if (lineno <= skip_lines) continue;
+        // Blank/non-numeric line: not a cell (pm3d row separator).
+        const char* p = line;
+        while (*p == ' ' || *p == '\t') p++;
+        if (*p == '\n' || *p == '\r' || *p == '\0') continue;
+
+        if (row >= row0 && row < row0 + hy &&
+            cell >= col0 && cell < col0 + wx) {
+            double* dst = out + filled * nvars;
+            for (long v = 0; v < nvars; v++) {
+                char* end = nullptr;
+                double val = strtod(p, &end);
+                if (end == p) { fclose(f); return -4; }  // short line
+                dst[v] = val;
+                p = end;
+                while (*p == ',' || *p == ' ' || *p == '\t') p++;
+            }
+            filled++;
+        }
+        cell++;
+        if (cell == gnx) {
+            cell = 0;
+            row++;
+            if (row >= row0 + hy) break;  // window complete
+        }
+    }
+    fclose(f);
+    return filled;
+}
+
 // Count cells where |ref - ours| > max(atol, rtol*max(|ref|,|ours|))
 // (Julia isapprox semantics, `reference_functions.jl:69-121`). Writes the
 // max relative difference over differing cells to *max_rel.

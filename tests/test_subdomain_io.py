@@ -137,3 +137,77 @@ def test_armon_writes_per_shard_files(tmp_path):
     armon(params)
     files = sorted(os.listdir(tmp_path))
     assert files == ["sub_0×0", "sub_0×1", "sub_1×0", "sub_1×1"], files
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32],
+                         ids=["f64", "f32"])
+def test_window_reader_native_python_parity(tmp_path, dtype, monkeypatch):
+    """The native window streamer (armon_read_window) must agree with the
+    pure-Python fallback bit-for-bit on every shard window — with and
+    without a header line and ghost bands, at both dtypes (the f32 leg
+    pins the parse-at-run-dtype behavior through the f64 native parse)."""
+    from armon_tpu.io import native
+    from armon_tpu.io.output import write_state_file
+    if not native.available():
+        pytest.skip("native io not built")
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+
+    params = reference_params("Sod_circ", dtype, N=(50, 41), P=(3, 2),
+                              maxcycle=4)
+    cfg = params.config
+    state, _ = _run(params)
+    host = gather_state(params, state)
+    plain = str(tmp_path / "global")
+    write_state_file(cfg, host, plain)
+    ghosted = str(tmp_path / "ghosted")
+    write_state_file(cfg, host, ghosted, with_ghosts=True)
+    headed = str(tmp_path / "headed")
+    with open(headed, "w") as f:
+        f.write("0.125, 4\n" + open(plain).read())
+
+    cases = [(plain, dict()), (ghosted, dict(with_ghosts=True)),
+             (headed, dict(skip_header=True))]
+    for coords, _blocks in shard_coords_iter(params, state):
+        for path, kw in cases:
+            _, nat = read_global_file_window(cfg, path, coords, **kw)
+            monkeypatch.setattr(native, "read_window",
+                                lambda *a, **k: None)
+            try:
+                hdr, py = read_global_file_window(cfg, path, coords, **kw)
+            finally:
+                monkeypatch.undo()
+            for v in SAVED_VARS:
+                assert np.array_equal(nat[v], py[v]), (coords, path, v)
+    assert hdr == "0.125, 4"
+
+
+def test_window_reader_truncated_file(tmp_path):
+    """Both reader tiers must refuse a truncated global file (underfill)
+    rather than return heap garbage for the unreached window cells."""
+    from armon_tpu.io import native
+    from armon_tpu.io.output import write_state_file
+    from armon_tpu.utils.errors import SolverException
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+
+    params = reference_params("Sod_circ", np.float64, N=(50, 41), P=(3, 2),
+                              maxcycle=1)
+    cfg = params.config
+    state, _ = _run(params)
+    path = str(tmp_path / "trunc")
+    write_state_file(cfg, gather_state(params, state), path)
+    lines = open(path).read().splitlines()
+    with open(path, "w") as f:
+        f.write("\n".join(lines[: len(lines) // 2]))
+
+    last = list(shard_coords_iter(params, state))[-1][0]
+    with pytest.raises(SolverException, match="window was filled"):
+        read_global_file_window(cfg, path, last)
+    if native.available():
+        import pytest as _pytest
+        from unittest import mock
+        with mock.patch.object(native, "read_window",
+                               lambda *a, **k: None):
+            with _pytest.raises(SolverException, match="window was filled"):
+                read_global_file_window(cfg, path, last)
