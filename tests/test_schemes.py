@@ -143,3 +143,74 @@ def test_min_ghost_run_matches_deep_ghost(scheme, projection, floor, tier):
     for v in shallow:
         assert np.array_equal(shallow[v], deep[v]), \
             f"{scheme}+{projection} nghost={floor} vs 6: {v} differs"
+
+
+@pytest.mark.parametrize("tier,routing", [
+    ("jnp", {}),
+    ("pallas", {"pair_threshold": 0}),      # per-sweep kernels
+    ("pallas", {"pair_threshold": 4096}),   # whole-cycle pair kernel
+], ids=["jnp", "per-sweep", "pair"])
+@pytest.mark.parametrize("scheme,limiter,projection,dtype", [
+    ("Godunov", "no_limiter", "euler", np.float64),
+    ("GAD", "minmod", "euler_2nd", np.float64),
+    ("GAD", "superbee", "euler_2nd", np.float32),
+], ids=["godunov-e1-f64", "gad-minmod-e2-f64", "gad-superbee-e2-f32"])
+def test_xy_transpose_symmetry(tier, routing, scheme, limiter, projection,
+                               dtype):
+    """Sod driven by X sweeps only must be the exact TRANSPOSE of Sod_y
+    driven by Y sweeps only — bit-for-bit, with u and v swapped. The two
+    problems are the same 1D tube along different memory axes, and every
+    kernel applies the same per-cell float sequence along lanes (X) and
+    sublanes (Y), so the X-sweep path, the Y-sweep path, the limiters,
+    the projection and the dt reduction all pin each other. A single
+    reordered FMA, an off-by-one stencil on ONE axis, or an asymmetric
+    ghost fill breaks the equality. (No reference analog: its X/Y
+    kernels are one generated body, `src/kernels.jl`; here the two axes
+    are genuinely different Mosaic strips.)"""
+    def solve(test, split, N):
+        params = reference_params(test, dtype, N=N, maxcycle=10,
+                                  scheme=scheme, riemann_limiter=limiter,
+                                  projection=projection,
+                                  axis_splitting=split, kernel_tier=tier,
+                                  **routing)
+        host, cycles, dt, t = run(params)
+        assert cycles == 10
+        g = params.nghost
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E", "p")}, dt
+
+    a, dt_x = solve("Sod", "X_only", (64, 40))
+    b, dt_y = solve("Sod_y", "Y_only", (40, 64))
+    assert dt_x == dt_y
+    swap = {"u": "v", "v": "u"}
+    for var in a:
+        other = swap.get(var, var)
+        assert np.array_equal(a[var], b[other].T), \
+            f"{var} is not the transpose of {other}"
+
+
+def test_xy_transpose_symmetry_mesh():
+    """The transpose oracle across the HALO paths: Sod/X_only on a (2,1)
+    device mesh (X-axis ppermute exchange, lane-edge BCs) vs Sod_y/Y_only
+    on (1,2) (Y-axis exchange, row-edge BCs) must still be bit-exact
+    transposes — pinning the two exchange directions and the traced
+    edge-shard boundary fills against each other."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    def solve(test, split, N, P):
+        params = reference_params(test, np.float64, N=N, maxcycle=10,
+                                  axis_splitting=split, P=P)
+        host, cycles, dt, t = run(params)
+        assert cycles == 10
+        g = params.nghost
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E")}, dt
+
+    a, dt_x = solve("Sod", "X_only", (64, 41), (2, 1))
+    b, dt_y = solve("Sod_y", "Y_only", (41, 64), (1, 2))
+    assert dt_x == dt_y
+    swap = {"u": "v", "v": "u"}
+    for var in a:
+        assert np.array_equal(a[var], b[swap.get(var, var)].T), var
