@@ -450,3 +450,50 @@ def test_five_arg_user_checkpoint_hook():
                         measure_time=False)
     armon(p, checkpoint=hook)
     assert any(lbl == "EOS" for lbl, _ in calls)
+
+
+@pytest.mark.parametrize("seed", range(600, 607))
+def test_random_option_sharded_matches_single(seed):
+    """Mesh run == single-device run across the sampled option space (the
+    SPMD analog of the reference's `test/mpi.jl` golden gates, but for
+    random configs its MPI suite can't run). Oracle policy mirrors
+    test_random_option_reshard_resume: perfect-gas cases demand
+    BIT-equality on the jnp tier; Bizarrium/Sedov and the fused tier get
+    a tight allclose (cross-layout FMA contraction / tile-plan seeds,
+    measured ~1 ulp amplified by the stiff EOS)."""
+    rng = random.Random(20260818 + seed)
+    opts = _sample(rng)
+    opts.pop("use_MPI", None)
+    P = opts.pop("P", None) or rng.choice([(2, 1), (1, 2), (2, 2), (3, 2)])
+    if len(jax.devices()) < int(np.prod(P)):
+        pytest.skip(f"needs {int(np.prod(P))} devices")
+    label = {**{k: (v.__name__ if isinstance(v, type) else v)
+                for k, v in opts.items()}, "P": P}
+
+    def solve(extra):
+        p = ArmonParameters(**{**opts, **extra})
+        state = make_init(p)()
+        state, t, cycles, dt, lm, ok = make_jit_loop(p)(state)
+        assert bool(ok) and int(cycles) == opts["maxcycle"], label
+        host = gather_state(p, state)
+        g = p.nghost
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E")}, float(dt)
+
+    a, dt_1 = solve({})
+    b, dt_p = solve({"P": P})
+
+    f64 = np.dtype(np.dtype(opts["data_type"])).itemsize == 8
+    exact = (opts["test"] in CONSERVATIVE and opts["kernel_tier"] == "jnp"
+             and f64)
+    rtol = 0.0 if exact else (1e-9 if f64 else 1e-4)
+    if exact:
+        assert dt_1 == dt_p, label
+    else:
+        assert np.isclose(dt_1, dt_p, rtol=max(rtol, 1e-11), atol=0.0), label
+    for var in a:
+        if exact:
+            assert np.array_equal(a[var], b[var]), f"{var}: {label}"
+        else:
+            assert np.allclose(a[var], b[var], rtol=rtol, atol=rtol), \
+                f"{var}: {label}"
