@@ -497,3 +497,79 @@ def test_random_option_sharded_matches_single(seed):
         else:
             assert np.allclose(a[var], b[var], rtol=rtol, atol=rtol), \
                 f"{var}: {label}"
+
+
+@pytest.mark.parametrize("seed", range(700, 707))
+def test_random_option_ghost_poison(seed):
+    """Ghost/dead-cell poison fuzz (the `test/convergence.jl:67-102` gate
+    across the WHOLE option space): filling every non-real cell — ghost
+    bands, corners, uneven-split dead slack — with a huge value must
+    leave the real cells BIT-identical to the unpoisoned run of the same
+    config. Same layout and tier on both sides, so the equality is exact
+    for every case/dtype. This is the direct gate on the unmasked
+    padded-array design (docs/architecture.md): notably the fused Mosaic
+    routings (in-kernel BC fills, pair-kernel strip carries) only ever
+    saw poison on fixed configs before."""
+    from armon_tpu.core.solver import _mesh_and_specs
+
+    rng = random.Random(20260818 + seed)
+    opts = _sample(rng)
+    opts.pop("use_MPI", None)
+    needed = int(np.prod(opts.get("P", (1, 1))))
+    if len(jax.devices()) < needed:
+        pytest.skip(f"needs {needed} devices")
+    label = {k: (v.__name__ if isinstance(v, type) else v)
+             for k, v in opts.items()}
+
+    params = ArmonParameters(**opts)
+    cfg = params.config
+    g = cfg.nghost
+    state0 = make_init(params)()
+    loop = make_jit_loop(params)
+
+    clean, t, cycles, dt_c, lm, ok = loop(state0)
+    assert bool(ok), label
+
+    # Rebuild the init state and poison everything outside the per-shard
+    # real windows (mask construction per test_both_axes_uneven_poisoned_slack).
+    state = make_init(params)()
+    lr, lc = cfg.local_shape
+    px, py = cfg.proc_dims
+    big = 1e100 if np.dtype(cfg.dtype).itemsize == 8 else 1e30
+
+    def shard_mask(bx, by):
+        m = np.ones((lr, lc), bool)
+        nxl, nyl = cfg.n_local
+        ex, ey = cfg.edge_cells
+        hy = ey if by == py - 1 else nyl
+        wx = ex if bx == px - 1 else nxl
+        m[g:g + hy, g:g + wx] = False
+        return m
+
+    full_mask = np.block([[shard_mask(bx, by) for bx in range(px)]
+                          for by in range(py)])
+    if needed > 1:
+        from jax.sharding import NamedSharding
+        from armon_tpu.parallel.mesh import shard_state_spec
+        mesh, _, _ = _mesh_and_specs(params)
+        put = lambda a: jax.device_put(
+            a, NamedSharding(mesh, shard_state_spec(cfg.axis_names)))
+    else:
+        put = jax.numpy.asarray
+    poisoned = {}
+    for var in ("rho", "u", "v", "E", "p", "c", "g"):
+        a = np.asarray(jax.device_get(getattr(state, var))).copy()
+        a[full_mask] = big
+        poisoned[var] = put(a)
+    state = state._replace(**poisoned)
+
+    state, t, cycles_p, dt_p, lm, ok = loop(state)
+    assert bool(ok), f"poison invalidated the run: {label}"
+    assert int(cycles_p) == int(cycles), label
+    assert float(dt_p) == float(dt_c), f"poison changed dt: {label}"
+    a = gather_state(params, clean)
+    b = gather_state(params, state)
+    for var in ("rho", "u", "v", "E"):
+        x = np.asarray(getattr(a, var))[g:-g, g:-g]
+        y = np.asarray(getattr(b, var))[g:-g, g:-g]
+        assert np.array_equal(x, y), f"poison leaked into {var}: {label}"
