@@ -200,6 +200,29 @@ def main():
     check("checkpoint/resume on compiled Mosaic (bit-exact)", bool(same),
           f"cycles={res.cycles}/{full.cycles}")
 
+    # Cross-axis transpose oracle on COMPILED Mosaic: Sod under X sweeps
+    # must be the bit-exact transpose (u/v swapped) of Sod_y under Y
+    # sweeps — the X-strip and Y-strip kernels, their in-kernel BC fills
+    # and the dt reduction all pin each other (tests/test_schemes.py
+    # proves this in interpret mode; this is the compiled-kernel leg).
+    def run_axis(test, split, N, **kw):
+        p = ArmonParameters(test=test, N=N, data_type=np.float32,
+                            maxcycle=200, maxtime=1e30, silent=5,
+                            measure_time=False, return_data=True,
+                            axis_splitting=split, **kw)
+        host = gather_state(p, armon(p).data)
+        g = p.nghost
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E")}
+
+    for label, kw in (("pair kernel", {}),
+                      ("per-sweep kernels", {"pair_threshold": 0})):
+        ax = run_axis("Sod", "X_only", (64, 40), **kw)
+        ay = run_axis("Sod_y", "Y_only", (40, 64), **kw)
+        swap = {"u": "v", "v": "u"}
+        same = all(np.array_equal(ax[v], ay[swap.get(v, v)].T) for v in ax)
+        check(f"X/Y transpose symmetry on compiled Mosaic ({label})", same)
+
     import bench
     v, el, ran = bench.bench(n=2048, dtype=np.float32, cycles=100)
     check("throughput sanity 2048^2", v > 1.2e9, f"{v:.3e} cells/s")
