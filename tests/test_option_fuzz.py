@@ -197,17 +197,21 @@ def test_random_option_reshard_resume(seed, tmp_path):
     (`io/restart._reshard_load`) sees random schemes, splittings, dtypes,
     uneven extents and dt modes.
 
-    Oracle strength is case-dependent: perfect-gas cases demand
-    bit-equality, Bizarrium/Sedov a tight allclose. Reason (measured, this
-    fuzz's seed 500): XLA CPU's whole-cycle fusion can contract FMAs
-    differently for different shard BLOCK SHAPES, so two layouts' jitted
-    drivers can differ by 1 ulp on value-dependent rounding edges — the
-    per-substep driver (smaller jits) shows ZERO cross-layout diffs on
-    the same config, pinning it as a compile artifact, not solver math.
-    The stiff Bizarrium EOS both hits the edges and amplifies the seed
-    (~2e-9 rel after 6 f64 cycles at N=(40,64), Strang). TPU Mosaic tiles
-    lanes uniformly (no scalar remainder), and the hardware golden gates
-    in scripts/tpu_validate.py hold bit-exactness there."""
+    Oracle strength: ulp-tight allclose, NOT bit-equality — cross-layout
+    bit-equality is not an XLA-CPU guarantee for ANY case family.
+    Measured (this fuzz's seed 500, then campaign seed 1000): XLA CPU's
+    whole-cycle fusion can contract FMAs differently for different shard
+    BLOCK SHAPES, so two layouts' jitted drivers can differ by 1 ulp on
+    value-dependent rounding edges — the per-substep driver (smaller
+    jits) shows ZERO cross-layout diffs on the same config, pinning it
+    as a compile artifact, not solver math. Sod_circ+superbee+euler hits
+    the edges too (a few ulps, flat in cycle count: 8e-16 rel at 7
+    cycles, 4e-15 at 50); the stiff Bizarrium EOS amplifies its seed to
+    ~2e-9 rel after 6 f64 cycles. TPU Mosaic tiles lanes uniformly (no
+    scalar remainder), and the hardware golden gates in
+    scripts/tpu_validate.py hold bit-exactness there. The pure-I/O
+    reshard LOAD (no solver math) stays bit-exact — gated by
+    dryrun_multichip's elastic-restart leg and test_restart."""
     from armon_tpu import armon
     from armon_tpu.io.restart import save_checkpoint
 
@@ -240,28 +244,24 @@ def test_random_option_reshard_resume(seed, tmp_path):
     p2 = ArmonParameters(**{**opts, **dkw})
     res = armon(p2, restore_from=str(ckpt))
 
-    exact = opts["test"] in CONSERVATIVE  # perfect gas: no FMA-edge seeds
     f64 = np.dtype(ArmonParameters(**{**opts, **dkw}).config.dtype).itemsize == 8
-    rtol = 0.0 if exact else (1e-9 if f64 else 1e-4)
-    assert res.cycles == ref.cycles, label
-    if exact:
-        assert res.final_time == ref.final_time, label
-        assert res.last_dt == ref.last_dt, label
+    # perfect gas: ulp-tier seeds only; stiff Bizarrium / Sedov amplify
+    if opts["test"] in CONSERVATIVE:
+        rtol = 1e-12 if f64 else 1e-5
     else:
-        assert np.isclose(res.final_time, ref.final_time,
-                          rtol=rtol, atol=0.0), label
-        assert np.isclose(res.last_dt, ref.last_dt, rtol=rtol,
-                          atol=0.0), label
+        rtol = 1e-9 if f64 else 1e-4
+    assert res.cycles == ref.cycles, label
+    assert np.isclose(res.final_time, ref.final_time,
+                      rtol=rtol, atol=0.0), label
+    assert np.isclose(res.last_dt, ref.last_dt, rtol=rtol,
+                      atol=0.0), label
     a = gather_state(pref, ref.data)
     b = gather_state(p2, res.data)
     g = pref.nghost
     for var in ("rho", "u", "v", "E"):
         x = np.asarray(getattr(a, var))[g:-g, g:-g]
         y = np.asarray(getattr(b, var))[g:-g, g:-g]
-        if exact:
-            assert np.array_equal(x, y), f"{var}: {label}"
-        else:
-            assert np.allclose(x, y, rtol=rtol, atol=rtol), f"{var}: {label}"
+        assert np.allclose(x, y, rtol=rtol, atol=rtol), f"{var}: {label}"
 
 
 def test_carryless_fused_save_refused(tmp_path):
@@ -457,10 +457,11 @@ def test_random_option_sharded_matches_single(seed):
     """Mesh run == single-device run across the sampled option space (the
     SPMD analog of the reference's `test/mpi.jl` golden gates, but for
     random configs its MPI suite can't run). Oracle policy mirrors
-    test_random_option_reshard_resume: perfect-gas cases demand
-    BIT-equality on the jnp tier; Bizarrium/Sedov and the fused tier get
-    a tight allclose (cross-layout FMA contraction / tile-plan seeds,
-    measured ~1 ulp amplified by the stiff EOS)."""
+    test_random_option_reshard_resume: ulp-tight allclose, not
+    bit-equality — XLA CPU contracts FMAs differently per shard block
+    shape (measured, see that test's docstring), so no case family is
+    exempt cross-layout; the pinned golden-config mesh matrix in
+    test_mesh.py keeps the bit-exact anchor."""
     rng = random.Random(20260818 + seed)
     opts = _sample(rng)
     opts.pop("use_MPI", None)
@@ -484,19 +485,14 @@ def test_random_option_sharded_matches_single(seed):
     b, dt_p = solve({"P": P})
 
     f64 = np.dtype(np.dtype(opts["data_type"])).itemsize == 8
-    exact = (opts["test"] in CONSERVATIVE and opts["kernel_tier"] == "jnp"
-             and f64)
-    rtol = 0.0 if exact else (1e-9 if f64 else 1e-4)
-    if exact:
-        assert dt_1 == dt_p, label
+    if opts["test"] in CONSERVATIVE:
+        rtol = 1e-12 if f64 else 1e-5
     else:
-        assert np.isclose(dt_1, dt_p, rtol=max(rtol, 1e-11), atol=0.0), label
+        rtol = 1e-9 if f64 else 1e-4
+    assert np.isclose(dt_1, dt_p, rtol=rtol, atol=0.0), label
     for var in a:
-        if exact:
-            assert np.array_equal(a[var], b[var]), f"{var}: {label}"
-        else:
-            assert np.allclose(a[var], b[var], rtol=rtol, atol=rtol), \
-                f"{var}: {label}"
+        assert np.allclose(a[var], b[var], rtol=rtol, atol=rtol), \
+            f"{var}: {label}"
 
 
 @pytest.mark.parametrize("seed", range(700, 707))
