@@ -72,6 +72,8 @@ def main():
         ("output_roundtrip", fuzz.test_random_option_output_roundtrip,
          True, 0.3),
         ("tiny_grid", fuzz.test_random_tiny_grid, False, 0.5),
+        ("transpose", fuzz.test_random_option_transpose_symmetry,
+         False, 0.4),
     ]
 
     failures = []

@@ -223,6 +223,28 @@ def main():
         same = all(np.array_equal(ax[v], ay[swap.get(v, v)].T) for v in ax)
         check(f"X/Y transpose symmetry on compiled Mosaic ({label})", same)
 
+    # Sedov self-transpose: the genuinely-2D leg (transverse structure
+    # hits value-dependent rounding edges Sod's 1D tube never sees — the
+    # fuzz probe's worst case: superbee + euler, f32). Whether compiled
+    # Mosaic holds BIT-exactness across the two kernel orientations here
+    # is a measurement, not a given (interpret mode shows ulp-class FMA
+    # contraction edges, test_option_fuzz.py transpose docstring); the
+    # gate is the f32 tolerance ladder, the detail records the answer.
+    sx = run_axis("Sedov", "X_only", (64, 40), riemann_limiter="superbee",
+                  projection="euler", pair_threshold=0)
+    sy = run_axis("Sedov", "Y_only", (40, 64), riemann_limiter="superbee",
+                  projection="euler", pair_threshold=0)
+    worst = 0.0
+    bit = True
+    for v in sx:
+        x, y = sx[v], sy[swap.get(v, v)].T
+        bit = bit and np.array_equal(x, y)
+        denom = max(float(np.max(np.abs(x))), 1e-30)
+        worst = max(worst, float(np.max(np.abs(x - y))) / denom)
+    check("Sedov self-transpose on compiled Mosaic (2D value edges)",
+          worst <= 1e-4,
+          "bit-exact" if bit else f"max normalized diff {worst:.2e}")
+
     import bench
     v, el, ran = bench.bench(n=2048, dtype=np.float32, cycles=100)
     check("throughput sanity 2048^2", v > 1.2e9, f"{v:.3e} cells/s")

@@ -495,6 +495,78 @@ def test_random_option_sharded_matches_single(seed):
             f"{var}: {label}"
 
 
+@pytest.mark.parametrize("seed", range(800, 808))
+def test_random_option_transpose_symmetry(seed):
+    """X/Y transpose-symmetry fuzz (the `test_schemes.py` oracle across
+    the option space): a run driven by X sweeps only must be the
+    transpose — u and v swapped — of the same problem rotated 90° and
+    driven by Y sweeps only. Sod pairs with Sod_y; Sod_circ and Sedov
+    are their OWN transposes (radially symmetric init, `hypot` is
+    argument-symmetric). Random scheme/limiter/projection/dtype/nghost/
+    geometry/dt-mode/tier/routing, and transposed device meshes
+    (P=(a,b) vs (b,a)) when the sampler draws one.
+
+    Oracle strength by tier (measured, probe seeds 800-815 + 10 mesh
+    legs): the jnp tier is BIT-exact across the whole space, single
+    device and transposed meshes alike — so it is gated with
+    array_equal. The interpret-mode Pallas tier shows ulp-class edges
+    on value-dependent configs (XLA CPU contracts FMAs differently
+    around the X kernel's lane rolls vs the Y kernel's strip moves;
+    worst seen: Sedov f32 superbee 4.4e-6 rel after 6 cycles, f64 pair
+    kernel 2-6 ulp) — the same compile-artifact class as the
+    cross-layout caveat in test_random_option_reshard_resume, so it
+    gets that test's tolerance ladder. Compiled Mosaic on real TPU is
+    gated BIT-exact by scripts/tpu_validate.py's transpose leg."""
+    rng = random.Random(20260818 + seed)
+    opts = _sample(rng)
+    base = rng.choice(["Sod", "Sod_circ", "Sedov"])
+    pair = {"Sod": "Sod_y"}.get(base, base)
+    opts.pop("use_MPI", None)
+    P = opts.pop("P", None)
+    if opts.get("cst_dt"):
+        opts["Dt"] = {"Sedov": 1e-7}.get(base, 1e-5)
+    nx, ny = opts["N"]
+    a_kw = dict(opts, test=base, axis_splitting="X_only", N=(nx, ny))
+    b_kw = dict(opts, test=pair, axis_splitting="Y_only", N=(ny, nx))
+    if P is not None:
+        a_kw["P"] = P
+        b_kw["P"] = (P[1], P[0])
+        if len(jax.devices()) < int(np.prod(P)):
+            pytest.skip(f"needs {int(np.prod(P))} devices")
+    label = {k: (v.__name__ if isinstance(v, type) else v)
+             for k, v in a_kw.items()}
+
+    def solve(kw):
+        p = ArmonParameters(**kw)
+        state = make_init(p)()
+        state, t, cycles, dt, lm, ok = make_jit_loop(p)(state)
+        assert bool(ok) and int(cycles) == opts["maxcycle"], label
+        host = gather_state(p, state)
+        g = p.nghost
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E", "p")}, float(dt)
+
+    a, dt_x = solve(a_kw)
+    b, dt_y = solve(b_kw)
+    swap = {"u": "v", "v": "u"}
+    if opts["kernel_tier"] == "jnp":
+        assert dt_x == dt_y, label
+        for var in a:
+            assert np.array_equal(a[var], b[swap.get(var, var)].T), \
+                f"{var} is not the transpose of {swap.get(var, var)}: {label}"
+    else:
+        f64 = np.dtype(opts["data_type"]).itemsize == 8
+        if base in CONSERVATIVE:
+            rtol = 1e-12 if f64 else 1e-5
+        else:
+            rtol = 1e-9 if f64 else 1e-4
+        assert np.isclose(dt_x, dt_y, rtol=rtol, atol=0.0), label
+        for var in a:
+            assert np.allclose(a[var], b[swap.get(var, var)].T,
+                               rtol=rtol, atol=rtol), \
+                f"{var} vs {swap.get(var, var)}.T: {label}"
+
+
 @pytest.mark.parametrize("seed", range(700, 707))
 def test_random_option_ghost_poison(seed):
     """Ghost/dead-cell poison fuzz (the `test/convergence.jl:67-102` gate
