@@ -74,6 +74,8 @@ def main():
         ("tiny_grid", fuzz.test_random_tiny_grid, False, 0.5),
         ("transpose", fuzz.test_random_option_transpose_symmetry,
          False, 0.4),
+        ("axis_invariance", fuzz.test_random_option_axis_invariance_bitwise,
+         False, 0.5),
     ]
 
     failures = []

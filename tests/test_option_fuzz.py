@@ -495,6 +495,49 @@ def test_random_option_sharded_matches_single(seed):
             f"{var}: {label}"
 
 
+@pytest.mark.parametrize("seed", range(900, 908))
+def test_random_option_axis_invariance_bitwise(seed):
+    """Axis-invariance fuzz, BITWISE (`test/convergence.jl:31-64` made
+    exact): a problem constant along one axis (Sod/Bizarrium along Y,
+    Sod_y along X) must stay EXACTLY constant along it through full 2D
+    sweep schedules — every transverse row/column sees identical inputs,
+    and XLA's elementwise semantics apply the identical float sequence
+    to each, so any nonzero transverse difference is a real leak (a
+    coordinate mixed into sweep math, an asymmetric ghost fill, a chunk
+    boundary touching real cells). Measured (probe seeds 900-915):
+    bit-constant across both tiers, both pallas routings, random chunk
+    geometry, all splittings and uneven meshes — where the reference
+    gates this only at tolerance on one config. Mesh legs shard the
+    constant axis too (transverse ppermute halos must preserve
+    constancy bit-for-bit)."""
+    rng = random.Random(20260818 + seed)
+    opts = _sample(rng)
+    case = rng.choice(["Sod", "Sod_y", "Bizarrium"])
+    along_y = case in ("Sod", "Bizarrium")
+    opts["test"] = case
+    opts.pop("use_MPI", None)
+    if opts.get("cst_dt"):
+        opts["Dt"] = 1e-9 if case == "Bizarrium" else 1e-5
+    needed = int(np.prod(opts.get("P", (1, 1))))
+    if len(jax.devices()) < needed:
+        pytest.skip(f"needs {needed} devices")
+    label = {k: (v.__name__ if isinstance(v, type) else v)
+             for k, v in opts.items()}
+
+    params = ArmonParameters(**opts)
+    state = make_init(params)()
+    state, t, cycles, dt, lm, ok = make_jit_loop(params)(state)
+    assert bool(ok) and int(cycles) == opts["maxcycle"], label
+
+    host = gather_state(params, state)
+    g = params.nghost
+    for var in ("rho", "u", "v", "E", "p"):
+        a = np.asarray(getattr(host, var))[g:-g, g:-g]
+        rows = a[1:, :] == a[:-1, :] if along_y else a[:, 1:] == a[:, :-1]
+        assert rows.all(), \
+            f"{var} not bit-constant along {'Y' if along_y else 'X'}: {label}"
+
+
 @pytest.mark.parametrize("seed", range(800, 808))
 def test_random_option_transpose_symmetry(seed):
     """X/Y transpose-symmetry fuzz (the `test_schemes.py` oracle across
