@@ -593,8 +593,25 @@ def measure_sections(params, state, reps=3):
 
 def gather_state(params, state: State) -> State:
     """Bring a (possibly sharded, blocked-layout) state back to a host-side
-    globally-padded State — `device_to_host!` (`src/blocking/block_grid.jl:712-737`)."""
+    globally-padded State — `device_to_host!` (`src/blocking/block_grid.jl:712-737`).
+
+    Multi-process runs cannot gather: shards on other processes are not
+    addressable here, and a global gather would defeat the O(shard) design
+    anyway. Every distributed surface has a per-shard route that works
+    multi-process: output `write_sub_domain_files`, checkpoints
+    `save_checkpoint(per_shard=True)` (the `use_MPI=True` defaults), golden
+    comparison `compare_sub_domain_with_golden` — all driven off
+    `addressable_shards` only."""
     cfg = params.config
+    for f in State._fields:
+        leaf = getattr(state, f)
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            solver_error("config",
+                         "gather_state: state is sharded across multiple "
+                         "processes; a global gather is not possible (and "
+                         "not O(shard)). Use the per-shard paths instead: "
+                         "write_sub_domain_files / save_checkpoint("
+                         "per_shard=True) / compare_sub_domain_with_golden.")
     state = jax.device_get(state)
     if not cfg.spmd:
         return State(*[np.asarray(a) for a in state])
@@ -984,6 +1001,12 @@ def host_to_device(params, state_host: State) -> State:
             for bx in range(px):
                 out[by * lr:(by + 1) * lr, bx * lc:(bx + 1) * lc] = \
                     a[by * nyl:by * nyl + lr, bx * nxl:bx * nxl + lc]
-        return jax.device_put(out, sharding)
+        if sharding.is_fully_addressable:
+            return jax.device_put(out, sharding)
+        # Multi-process: every process passes the SAME global host state
+        # (the sequential-init pattern) and contributes only its
+        # addressable shards.
+        return jax.make_array_from_callback(out.shape, sharding,
+                                            lambda idx: out[idx])
 
     return State(*[block(a) for a in state_host])

@@ -44,6 +44,29 @@ def _stencil_width_projection(projection: str) -> int:
     return {"euler": 1, "euler_2nd": 2}[projection]
 
 
+def _init_distributed(coordinator_address, num_processes, process_id):
+    """Idempotent `jax.distributed.initialize` — the `MPI.Init` analog
+    (src/parameters.jl:409-413). Safe to call from every process of a
+    multi-host launch; repeated calls with the same coordinator are no-ops,
+    a DIFFERENT coordinator after initialization is a config error."""
+    import jax
+    if jax.distributed.is_initialized():
+        from jax._src import distributed as _dist  # best-effort mismatch check
+        prev = getattr(_dist.global_state, "coordinator_address", None)
+        if prev not in (None, coordinator_address):
+            solver_error("config",
+                         f"jax.distributed is already initialized with "
+                         f"coordinator {prev!r}; cannot re-initialize with "
+                         f"{coordinator_address!r}")
+        return
+    kw = {}
+    if num_processes is not None:
+        kw["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kw["process_id"] = int(process_id)
+    jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
+
+
 class ArmonParameters:
     """Validating front-end. ``ArmonParameters(**options)`` then
     ``armon(params)`` (`README.md:33-39` of the reference)."""
@@ -176,6 +199,26 @@ class ArmonParameters:
         self.devices = o.pop("devices", None)  # explicit device list (TPU-native)
         if len(self.P) != 2 or any(p <= 0 for p in self.P):
             solver_error("config", f"Invalid process grid P: {self.P}")
+        # Multi-process (multi-host) runs — the analog of the reference's
+        # `MPI.Init` + cartesian communicator over a cluster
+        # (src/parameters.jl:408-431): hand the coordinator endpoint to
+        # `jax.distributed.initialize` and the mesh below spans every
+        # process's devices (ICI intra-pod, DCN across hosts). All three
+        # options must be given together (num_processes/process_id may be
+        # omitted where the launcher environment provides them, e.g. on
+        # Cloud TPU pods).
+        self.coordinator_address = o.pop("coordinator_address", None)
+        self.num_processes = o.pop("num_processes", None)
+        self.process_id = o.pop("process_id", None)
+        if self.coordinator_address is not None:
+            _init_distributed(self.coordinator_address, self.num_processes,
+                              self.process_id)
+        import jax
+        if jax.process_count() > 1 and not self.use_MPI:
+            # Per-shard I/O (`use_MPI`-gated, src/io.jl:46-75) is the only
+            # output/checkpoint route that works when shards live on other
+            # processes — the gather paths raise a pointed error there.
+            self.use_MPI = True
 
     def _init_device(self, o):
         """src/parameters.jl:470-530 — backend knobs. Threading/SIMD/NUMA/

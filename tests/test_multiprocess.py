@@ -1,0 +1,49 @@
+"""Multi-process (multi-host analog) execution — 2 `jax.distributed`
+processes on localhost, one device each, sharing a 2-device global mesh.
+
+The reference is inherently multi-node (MPI cartesian communicator over any
+cluster, `src/parameters.jl:408-467`; `test/mpi.jl` runs oversubscribed
+ranks on one node). The TPU-native analog is `jax.distributed.initialize`
++ a global mesh whose collectives ride ICI/DCN; on CPU the processes talk
+gloo. The workers (tests/mp_worker.py) run the golden Sod config sharded
+across the two processes with per-shard output, per-shard golden
+comparison, per-shard checkpoint + bit-exact resume — and assert the
+gather paths fail with the pointed error instead of hanging.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_golden(tmp_path):
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "mp_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert out.strip().splitlines()[-1] == "MPOK", \
+            f"process {pid} output:\n{out}"
