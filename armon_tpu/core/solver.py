@@ -772,6 +772,18 @@ def armon(params: ArmonParameters, checkpoint=None,
         except Exception as e:  # a probe failure must not kill the run
             import warnings
             warnings.warn(f"section probe failed: {type(e).__name__}: {e}")
+        if "trace" in tuple(params.profiling):
+            # In-loop per-kernel DEVICE truth from the XPlane dump the run
+            # just produced — the reference's per-kernel profiling
+            # callbacks (src/profiling.jl:6-68). The re-jitted probes
+            # above stay available, labeled as probes, in analyse().
+            try:
+                from ..utils.xplane import parse_kernel_times
+                solver_log.trace_sections = parse_kernel_times(
+                    os.path.join(params.output_dir, "profile")) or {}
+            except Exception as e:
+                import warnings
+                warnings.warn(f"xplane parse failed: {type(e).__name__}: {e}")
 
     # Final conservation check (src/solver.jl:467-490)
     if params.check_result and params.test.is_conservative and cycles > 0:

@@ -29,8 +29,15 @@ class SolverLog:
     events: List[CycleLogEvent] = field(default_factory=list)
     # {section: seconds} from core.solver.measure_sections (ghost exchange
     # vs X kernel vs Y kernel vs dt) — the per-event breakdown analog of
-    # `analyse_log_stats` (src/logging.jl:75-300).
+    # `analyse_log_stats` (src/logging.jl:75-300). These are re-jitted
+    # PROBES over the final state: indicative shares, not additive to the
+    # fused in-loop cycle time — `analyse()` labels them so.
     sections: dict = field(default_factory=dict)
+    # {kernel: {"seconds", "calls"}} parsed from the run's own XPlane dump
+    # (utils/xplane.py; set when `profiling=['trace']`) — the in-loop
+    # device-time truth, the analog of the reference's per-kernel
+    # profiling callbacks (src/profiling.jl:6-68).
+    trace_sections: dict = field(default_factory=dict)
 
     def push(self, cycle, t, dt, wall_seconds):
         self.events.append(CycleLogEvent(cycle, t, dt, wall_seconds))
@@ -60,6 +67,21 @@ class SolverLog:
             out["sections"] = dict(self.sections)
             out["section_shares"] = {k: v / tot
                                      for k, v in self.sections.items()}
+            # probes re-jit the sub-steps over the final state: honest
+            # SHARES, but not additive to the fused in-loop cycle time
+            out["sections_source"] = "probe"
+        if self.trace_sections:
+            # in-loop device truth replaces the probe as `sections` on a
+            # traced run; the probe numbers stay under probe_sections
+            if self.sections:
+                out["probe_sections"] = out.pop("sections")
+                out["probe_section_shares"] = out.pop("section_shares")
+            secs = {k: v["seconds"] for k, v in self.trace_sections.items()}
+            tot = sum(secs.values())
+            out["sections"] = secs  # {kernel: seconds}, like the probe form
+            out["section_shares"] = {k: v / tot for k, v in secs.items()}
+            out["trace_kernels"] = dict(self.trace_sections)  # + call counts
+            out["sections_source"] = "trace"
         return out
 
     def __repr__(self):

@@ -53,6 +53,32 @@ def test_solver_log_sections_fused(spmd):
         assert a["sections"][sec] > 0, sec
 
 
+def test_trace_derived_sections(tmp_path):
+    """`profiling=['trace']` + `log_blocks`: analyse()['sections'] must be
+    the in-loop per-kernel DEVICE times parsed from the run's own XPlane
+    dump (the reference's per-kernel profiling callbacks,
+    src/profiling.jl:6-68), with the re-jitted probe numbers kept and
+    labeled as probes."""
+    params = reference_params("Sod", np.float64, maxcycle=5,
+                              log_blocks=True, profiling=["trace"],
+                              output_dir=str(tmp_path))
+    stats = armon(params)
+    a = stats.grid_log.analyse()
+    if not stats.grid_log.trace_sections:
+        pytest.skip("no xplane parser available in this environment")
+    assert a["sections_source"] == "trace"
+    assert a["sections"], "trace yielded no kernels"
+    assert all(v >= 0 for v in a["sections"].values())
+    assert sum(a["sections"].values()) > 0
+    # in-loop: each solver kernel ran ~once per cycle (compiles excluded)
+    calls = [v["calls"] for v in a["trace_kernels"].values()]
+    assert max(calls) >= 5, calls
+    assert abs(sum(a["section_shares"].values()) - 1.0) < 1e-9
+    # the probe numbers survive, labeled
+    assert a["probe_sections"]["eos_X"] > 0
+    assert "probe_section_shares" in a
+
+
 def test_unknown_profiler_rejected():
     with pytest.raises(SolverException, match="Unknown profiler"):
         ArmonParameters(test="Sod", profiling=["nvtx"])
