@@ -123,46 +123,64 @@ def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True, variant=""):
     if div is None:
         div = _EXACT_DIV
     fast = div is not _EXACT_DIV
-    if isinstance(cfg.test, Bizarrium):
+    # "pgeos" (measurement-only, ARMON_SWEEP_VARIANT): run the stiff-EOS
+    # case through the perfect-gas chain below — physically wrong, but
+    # byte-identical memory traffic, so the grind delta vs the real chain
+    # IS the stiff-EOS ALU premium (BENCH_NOTES round 4).
+    def _biz_fast(guard=False):
+        # fast_math restructure of the same chain (~1-2 ulp from the
+        # reference forms; exact-IEEE mode below keeps them bitwise
+        # for the golden ladder): Horner polynomials, G folded into
+        # epsk0 through ONE shared Newton-refined 1/rho (also reused
+        # by c), p - pk0 == G0*rho0*(e - epsk0) reused under the
+        # sqrt, and rc == sq directly (rho * (sq/rho) reassociated).
+        # ~10 fewer elementwise ops + one exact divide and one full
+        # reciprocal chain removed per cell on the stiff-EOS path.
+        rho0 = T(10000.0); K0 = T(1e11); Cv0 = T(1000.0); T0 = T(300.0)
+        eps0 = T(0.0); G0 = T(1.5); s = T(1.5)
+        q = T(-42080895.0 / 14941154.0); r = T(727668333.0 / 149411540.0)
+        r_rho = pl.reciprocal(rho, approx=True)
+        r_rho = r_rho * (2.0 - rho * r_rho)
+        x = rho * T(1.0 / 10000.0) - 1
+        x2 = x * x
+        over_sx = _div_shared(div, 1 - s * x)
+        k = T(s / 3 - 2)
+        f0 = over_sx(((r * x + q) * x + k) * x + 1)
+        f1 = over_sx((3 * r * x + 2 * q) * x + k + s * f0)
+        f2t = over_sx(6 * r * x + 2 * q + 2 * s * f1)
+        # epsk0 with G = G0*(1 - rho0/rho) folded:
+        # -Cv0*T0*(1+G) = -Cv0*T0*(1+G0) + Cv0*T0*G0*rho0/rho.
+        epsk0 = ((eps0 - Cv0 * T0 * (1 + G0))
+                 + (Cv0 * T0 * G0 * rho0) * r_rho
+                 + (T(0.5) * K0 / rho0) * (x2 * f0))
+        xp1 = 1 + x
+        xp12 = xp1 * xp1
+        pk0 = (-Cv0 * T0 * G0 * rho0
+               + (T(0.5) * K0) * (x * xp12) * (2 * f0 + x * f1))
+        # inner terms expanded FMA-style: 2(1+3x) = 6x+2,
+        # 2x(2+3x) = x*(6x+4), x^2(1+x) = x2*xp1.
+        pk0prime = (-T(0.5) * K0 * rho0) * (xp12 * xp1) * (
+            (6 * x + 2) * f0 + (x * (6 * x + 4)) * f1
+            + (x2 * xp1) * f2t)
+        e = E - 0.5 * (u ** 2 + v ** 2)
+        tt = (G0 * rho0) * (e - epsk0)
+        p = pk0 + tt
+        arg = (G0 * rho0) * tt - pk0prime
+        if guard:
+            # measurement-only ('addbiz' on a non-Bizarrium state): the
+            # argument goes negative off the EOS's physical branch — one
+            # clamp keeps the blended-at-1e-30 chain NaN-free without
+            # touching the production path.
+            arg = jnp.maximum(arg, 0.0)
+        sq = jnp.sqrt(arg)
+        return p, sq, r_rho
+
+    if isinstance(cfg.test, Bizarrium) and "pgeos" not in variant:
         rho0 = T(10000.0); K0 = T(1e11); Cv0 = T(1000.0); T0 = T(300.0)
         eps0 = T(0.0); G0 = T(1.5); s = T(1.5)
         q = T(-42080895.0 / 14941154.0); r = T(727668333.0 / 149411540.0)
         if fast and "eosref" not in variant:
-            # fast_math restructure of the same chain (~1-2 ulp from the
-            # reference forms; exact-IEEE mode below keeps them bitwise
-            # for the golden ladder): Horner polynomials, G folded into
-            # epsk0 through ONE shared Newton-refined 1/rho (also reused
-            # by c), p - pk0 == G0*rho0*(e - epsk0) reused under the
-            # sqrt, and rc == sq directly (rho * (sq/rho) reassociated).
-            # ~10 fewer elementwise ops + one exact divide and one full
-            # reciprocal chain removed per cell on the stiff-EOS path.
-            r_rho = pl.reciprocal(rho, approx=True)
-            r_rho = r_rho * (2.0 - rho * r_rho)
-            x = rho * T(1.0 / 10000.0) - 1
-            x2 = x * x
-            over_sx = _div_shared(div, 1 - s * x)
-            k = T(s / 3 - 2)
-            f0 = over_sx(((r * x + q) * x + k) * x + 1)
-            f1 = over_sx((3 * r * x + 2 * q) * x + k + s * f0)
-            f2t = over_sx(6 * r * x + 2 * q + 2 * s * f1)
-            # epsk0 with G = G0*(1 - rho0/rho) folded:
-            # -Cv0*T0*(1+G) = -Cv0*T0*(1+G0) + Cv0*T0*G0*rho0/rho.
-            epsk0 = ((eps0 - Cv0 * T0 * (1 + G0))
-                     + (Cv0 * T0 * G0 * rho0) * r_rho
-                     + (T(0.5) * K0 / rho0) * (x2 * f0))
-            xp1 = 1 + x
-            xp12 = xp1 * xp1
-            pk0 = (-Cv0 * T0 * G0 * rho0
-                   + (T(0.5) * K0) * (x * xp12) * (2 * f0 + x * f1))
-            # inner terms expanded FMA-style: 2(1+3x) = 6x+2,
-            # 2x(2+3x) = x*(6x+4), x^2(1+x) = x2*xp1.
-            pk0prime = (-T(0.5) * K0 * rho0) * (xp12 * xp1) * (
-                (6 * x + 2) * f0 + (x * (6 * x + 4)) * f1
-                + (x2 * xp1) * f2t)
-            e = E - 0.5 * (u ** 2 + v ** 2)
-            tt = (G0 * rho0) * (e - epsk0)
-            p = pk0 + tt
-            sq = jnp.sqrt((G0 * rho0) * tt - pk0prime)
+            p, sq, r_rho = _biz_fast()
             if not need_c:
                 return p, sq, None
             c = sq * r_rho
@@ -191,6 +209,20 @@ def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True, variant=""):
     gm = T(cfg.gamma)
     e = E - 0.5 * (u ** 2 + v ** 2)
     p = (gm - T(1.0)) * rho * e
+    if fast and "addbiz" in variant:
+        # "addbiz" (measurement-only, ARMON_SWEEP_VARIANT): ALSO evaluate
+        # the stiff-EOS fast chain on this (stable, e.g. Sod) state and
+        # blend it in at 1e-30 so it cannot be dead-code-eliminated —
+        # measures the stiff-chain ALU premium on identical traffic and
+        # NaN-free data (the inverse 'pgeos' run aborts: perfect-gas math
+        # on Bizarrium's state is unstable). BENCH_NOTES round 4.
+        pb, sqb, _ = _biz_fast(guard=True)
+        tiny = T(1e-30)
+        p = p + tiny * pb
+        if not need_c:
+            return p, jnp.sqrt(gm * p * rho) + tiny * sqb, None
+        c = jnp.sqrt(div(gm * p, rho)) + tiny * sqb
+        return p, rho * c, c
     if fast and not need_c:
         return p, jnp.sqrt(gm * p * rho), None
     c = jnp.sqrt(div(gm * p, rho))

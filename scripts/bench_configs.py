@@ -85,21 +85,24 @@ def main():
     dev = str(jax.devices()[0])
 
     # Cycle counts sized so the per-dispatch tunnel round-trip (~26 ms,
-    # scripts/probe_small.py) stays a few % of each measurement — the
-    # round-2 counts under-reported the mid sizes by up to 2x (half of a
-    # 1000^2x100 measurement was RTT, not chip time).
+    # scripts/probe_small.py) stays under ~2% of each measurement. The
+    # round-3 counts still left 8-58% RTT in rows 1-3 (1000^2 x 1000
+    # cycles = 211 ms wall of which 26 ms was RTT — the XPlane trace
+    # shows the in-loop device cycle is 183 us, i.e. 5.4e9 cells/s, vs
+    # the 4.7e9 the polluted window reported). Target >= ~1.5 s of chip
+    # time per dispatch.
     configs = [
-        ("1. Sod 100x100 (reference scale)", "Sod", 100, 2000),
-        ("2a. Sod_circ 1000^2", "Sod_circ", 1000, 1000),
-        ("2b. Sod_y 1000^2", "Sod_y", 1000, 1000),
-        ("3. Sedov 2000^2", "Sedov", 2000, 400),
-        ("4. Bizarrium 4000^2", "Bizarrium", 4000, 150),
-        ("5. Sod 8192^2 (largest single-chip)", "Sod", 8192, 100),
+        ("1. Sod 100x100 (reference scale)", "Sod", 100, 30000),
+        ("2a. Sod_circ 1000^2", "Sod_circ", 1000, 8000),
+        ("2b. Sod_y 1000^2", "Sod_y", 1000, 8000),
+        ("3. Sedov 2000^2", "Sedov", 2000, 2000),
+        ("4. Bizarrium 4000^2", "Bizarrium", 4000, 450),
+        ("5. Sod 8192^2 (largest single-chip)", "Sod", 8192, 150),
         # Config 5's 16384-cell extent on ONE chip: 16384^2 f32 needs ~17 GB
         # (12288^2 already OOMs — measured); a 16384x4096 strip fits (~5 GB
         # by memory_required) and exercises the tile planner, halo strips
         # and the X-sweep width at the target extent.
-        ("5b. Sod 16384x4096 strip (16384 extent)", "Sod", (16384, 4096), 100),
+        ("5b. Sod 16384x4096 strip (16384 extent)", "Sod", (16384, 4096), 150),
     ]
 
     results = []
