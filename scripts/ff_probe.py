@@ -155,6 +155,8 @@ def _ff_lt(a, b):
 
 
 def ff_roll(x, k):
+    if k == 0:  # Mosaic rejects a roll-by-0 (empty slice in the lowering)
+        return x
     return FF(jnp.roll(x.hi, k, axis=-1), jnp.roll(x.lo, k, axis=-1))
 
 
@@ -337,7 +339,7 @@ def chain_plain(rho, uax, uot, E, sh, T):
 # ------------------------------------------------------------------ harness
 
 def _sh(a, k):
-    return jnp.roll(a, -k, axis=-1)
+    return a if k == 0 else jnp.roll(a, -k, axis=-1)
 
 
 def init_arrays(n, rng):
@@ -389,7 +391,7 @@ def make_pallas_f32(n, chunk):
 
     def kernel(r, u, v, E, orr, ou, ov, oE):
         def shf(x, k):
-            return jnp.roll(x, -k, axis=-1)
+            return x if k == 0 else jnp.roll(x, -k, axis=-1)
         r2, u2, v2, E2 = chain_plain(r[...], u[...], v[...], E[...],
                                      shf, np.float32)
         orr[...], ou[...], ov[...], oE[...] = r2, u2, v2, E2
@@ -418,15 +420,23 @@ def make_jnp(dtype):
 
 
 def time_steps(step, args, iters, label, n):
-    args = step(args)  # compile + warm
-    jax.block_until_ready(args)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        args = step(args)
-    np.asarray(jax.device_get(args[0]))[:1]  # hard sync (axon)
-    dt = time.perf_counter() - t0
-    cps = n * n * iters / dt
-    print(f"{label:22s} {dt/iters*1e3:9.3f} ms/sweep   {cps:.3e} cells/s")
+    """Time `iters` chained applications of `step` in ONE dispatch (a
+    fori_loop) — per-launch timing over the dev tunnel would be swamped by
+    the ~26 ms dispatch+read RTT. Best of 3 dispatches."""
+    @jax.jit
+    def loop(a, k):
+        return jax.lax.fori_loop(0, k, lambda _, x: step(x), a)
+
+    out = loop(args, iters)  # compile + warm
+    np.asarray(jax.device_get(out[0]))[:1]  # hard sync (axon)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = loop(args, iters)
+        np.asarray(jax.device_get(out[0]))[:1]
+        best = min(best, time.perf_counter() - t0)
+    cps = n * n * iters / best
+    print(f"{label:22s} {best/iters*1e3:9.3f} ms/sweep   {cps:.3e} cells/s")
     return cps
 
 
@@ -434,12 +444,34 @@ def main():
     n = int(os.environ.get("FF_N", "1024"))
     iters = int(os.environ.get("FF_ITERS", "60"))
     cpu_only = "--cpu" in sys.argv
+    # 'acc' needs x64 (f64 ground truth + the emulated-f64 jnp timing);
+    # 'perf' must NOT enable it (Mosaic rejects kernels under x64 — the
+    # BlockSpec index-map literals lower as i64). Platform/x64 are fixed
+    # at first backend use, so the two legs run as separate processes:
+    # FF_MODE=acc python ff_probe.py ; FF_MODE=perf python ff_probe.py
+    mode = os.environ.get("FF_MODE", "acc" if cpu_only else "perf")
     if cpu_only:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    if mode == "acc":
+        jax.config.update("jax_enable_x64", True)
     rng = np.random.default_rng(7)
     rho, u, v, E = init_arrays(n, rng)
-    print(f"backend: {jax.devices()[0].platform}, N={n}², iters={iters}")
+    print(f"backend: {jax.devices()[0].platform}, N={n}², iters={iters}, "
+          f"mode={mode}")
+
+    if mode == "perf":
+        # ---------- device throughput (no x64 in this process)
+        chunk = int(os.environ.get("FF_CHUNK", "128"))
+        ff_args = sum((ff_from_f64(a) for a in (rho, u, v, E)), ())
+        ff_args = tuple(jnp.asarray(a) for a in ff_args)
+        f32_step = make_pallas_f32(n, chunk)
+        cps_f32 = time_steps(f32_step, tuple(
+            jnp.asarray(a, np.float32) for a in (rho, u, v, E)),
+            iters, "pallas f32", n)
+        ff_step = make_pallas_ff(n, chunk)
+        cps_ff = time_steps(ff_step, ff_args, iters, "pallas float-float", n)
+        print(f"\nff vs f32: {cps_ff / cps_f32:.3f}x")
+        return
 
     # ---------- accuracy: K chained ff sweeps vs f64 ground truth
     K = 12
@@ -487,23 +519,10 @@ def main():
     if cpu_only:
         return
 
-    # ---------- throughput on the device
-    chunk = int(os.environ.get("FF_CHUNK", "128"))
-    f32_step = make_pallas_f32(n, chunk)
-    cps_f32 = time_steps(f32_step, tuple(
-        jnp.asarray(a, np.float32) for a in (rho, u, v, E)),
-        iters, "pallas f32", n)
-
-    ff_step = make_pallas_ff(n, chunk)
-    cps_ff = time_steps(ff_step, ff_args, iters, "pallas float-float", n)
-
+    # ---------- the emulated-f64 jnp baseline (x64 is on in this process)
     f64_step = make_jnp(np.float64)
-    cps_f64 = time_steps(f64_step, tuple(
-        jnp.asarray(a) for a in (rho, u, v, E)),
-        max(iters // 10, 3), "jnp f64 (emulated)", n)
-
-    print(f"\nff vs emulated f64: {cps_ff / cps_f64:.2f}x")
-    print(f"ff vs f32:          {cps_ff / cps_f32:.3f}x")
+    time_steps(f64_step, tuple(jnp.asarray(a) for a in (rho, u, v, E)),
+               max(iters // 10, 3), "jnp f64 (emulated)", n)
 
 
 if __name__ == "__main__":
