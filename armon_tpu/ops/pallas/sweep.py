@@ -289,6 +289,17 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
     if div is None:
         div = _EXACT_DIV
 
+    if "iofloor" in variant:
+        # Measurement-only (ARMON_SWEEP_VARIANT=iofloor): strip the sweep
+        # math but keep the production kernel's exact I/O pipeline —
+        # same tiles, specs, aliasing, SMEM scalars, strip emission, BC
+        # fills, p stream and CFL reduction. The measured cycle time IS
+        # the pipeline's achievable I/O floor; production minus this is
+        # the VPU time the DMA cannot hide (BENCH_NOTES round 4).
+        one = T(1.0)
+        return (rho + one, uax + one, uot + one, E + one,
+                rho, jnp.ones_like(rho))
+
     # EOS (src/kernels.jl:4-13) — from the input (pre-sweep) state.
     p, rc, c = _eos_prc(cfg, T, rho, uax, uot, E, div, need_c=need_c,
                         variant=variant)
@@ -354,6 +365,14 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
     dt_dm = div(dt, dm)
     uax1 = uax + dt_dm * (pstar - ps_p)
     E1 = E + dt_dm * (pstar * ustar - ps_p * us_p)
+
+    if "halfmath" in variant:
+        # Measurement-only third calibration point (with 'iofloor' and the
+        # full sweep): EOS + Riemann + Lagrangian update, advection and
+        # projection skipped — roughly half the arithmetic on the same
+        # pipeline. Tests the linearity of (measured - iofloor) in the
+        # op count (BENCH_NOTES round 4).
+        return rho1, uax1, uot, E1, p, c
 
     # ---- Advection fluxes (src/projection_schemes.jl:62-124)
     disp = dt * ustar

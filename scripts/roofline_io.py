@@ -88,11 +88,17 @@ def make_kernel(n, chunk, level):
     spec = pl.BlockSpec((chunk, n), lambda i: (i, 0))
     out_shape = [jax.ShapeDtypeStruct((n, n), np.float32)] * 5
 
+    from jax.experimental.pallas import tpu as pltpu
     call = pl.pallas_call(
         kernel, grid=(n // chunk,),
         in_specs=[spec] * 4, out_specs=[spec] * 5,
         out_shape=out_shape,
-        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3})
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        # the production kernels' VMEM budget (parallel/blocking.py) —
+        # without it Mosaic under-buffers the grid pipeline and the DMA
+        # serializes (measured: 6 GB/s instead of ~450)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
 
     # K launches per dispatch: the ~26 ms dispatch+read RTT would dominate
     # a single-launch timing at any size.
