@@ -435,6 +435,12 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
                 r_m = div_c(2 * dX, dX + sh(dX, -1))
                 r_p = div_c(2 * dX, dX + sh(dX, 1))
 
+            # (A shift-derived du_m — q - sh(q,-1) == sh(d,-1) for
+            # d = sh(q,1) - q — is bitwise only when sh is a pure
+            # rotation; the Y/pair kernels' sh is a buffer SLICE, where
+            # re-slicing the materialized window clamps at its edge and
+            # leaks wrong values into real cells (fingerprint-refuted,
+            # round 4). Not worth an axis-split for 4 subs/sweep.)
             def slope_base(q):
                 du_p = r_p * (sh(q, 1) - q)
                 du_m = r_m * (q - sh(q, -1))
