@@ -11,16 +11,16 @@ input with 3 distinct shift amounts, so compiler CSE can collapse the
 chain — treat its per-roll cost as a lower bound (the production roll
 share was measured by kernel A/Bs, not this chain; see BENCH_NOTES).
 
-INTERPRETATION (round-3 conclusion, see BENCH_NOTES): the per-class
-chain rates below are VMEM-BANDWIDTH-bound (each chain op costs ~3
-VMEM touches = ~12 B at the ~10-12 TB/s VMEM rate → the ~0.8 Tops/s
-plateau), not ALU-issue-bound. The fused sweep DAG runs its ~200
-materialized ops/cell at ~2.2 effective Tops/s because Mosaic keeps
-producer-consumer chains in vregs; the honest floor model is therefore
-max(HBM streaming, materialized-intermediate VMEM traffic), with the
-HBM accounting in BENCH_NOTES. The naive census x chain-rate sum (the
-`floor` mode) OVERESTIMATES the sweep floor ~2-3x — kept only to
-document that gap.
+RETIRED as the floor model (round 4): the calibrated model now lives in
+BENCH_NOTES "calibrated pipeline-floor model" — measured ON the
+production kernels via math-stripping variants
+(ARMON_SWEEP_VARIANT=iofloor/halfmath): pipeline floor 7.81 ms/cycle at
+8192² (8.59e9 cells/s, 618 GB/s effective) + ~24.7 µs per materialized
+op per cycle (2.7e12 effective slots/s), validated by the stiff-EOS
+premiums. The census part (A) below still feeds that model's op counts;
+the chain-rate microbench (B) OVERESTIMATES the compute term ~2-3x
+(loop-invariant chains are VMEM-touch-bound at ~0.8 Tops/s while the
+real DAG runs ~2.7 Tops/s in vregs) — kept only to document that gap.
 
 Two parts:
 
