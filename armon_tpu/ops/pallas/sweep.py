@@ -445,8 +445,12 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
                 du_p = r_p * (sh(q, 1) - q)
                 du_m = r_m * (q - sh(q, -1))
                 sgn = jnp.sign(du_p)
+                # sign(x)*x == |x| bitwise (negation exact; sign(±0)=±0
+                # and ±0*±0 = +0 = |±0|; NaN propagates) — one fewer mul
+                # per field (src/projection_schemes.jl:95 slope form).
                 return sgn * jnp.maximum(0.0,
-                                         jnp.minimum(sgn * du_p, sgn * du_m))
+                                         jnp.minimum(jnp.abs(du_p),
+                                                     sgn * du_m))
 
             rr_i, ru_i = rd(rho1, 0), rd(ru1, 0)
             rv_i, rE_i = rd(rv1, 0), rd(rE1, 0)
@@ -469,8 +473,10 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
                 du_p = r_p * (pp - i)
                 du_m = r_m * (i - m)
                 sgn = jnp.sign(du_p)
+                # sign(x)*x == |x| bitwise — see slope_base above.
                 return sgn * jnp.maximum(0.0,
-                                         jnp.minimum(sgn * du_p, sgn * du_m))
+                                         jnp.minimum(jnp.abs(du_p),
+                                                     sgn * du_m))
 
             rr_m, rr_i, rr_p = rd(rho1, -1), rd(rho1, 0), rd(rho1, 1)
             ru_m, ru_i, ru_p = rd(ru1, -1), rd(ru1, 0), rd(ru1, 1)
