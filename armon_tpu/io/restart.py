@@ -149,6 +149,16 @@ def save_checkpoint(path, params, state, t, cycles, dt_prev,
             np.savez(_shard_ckpt_path(path, coords),
                      **scalars, __geom=_geom(cfg),
                      **{f"field_{v}": blocks[v] for v in State._fields})
+        if jax.process_count() > 1:
+            # The save is COLLECTIVE across processes (each wrote only its
+            # addressable shards): without a barrier, a process that
+            # restores right after its own return can read a neighbor's
+            # half-written shard file (EOFError mid-np.savez — found by
+            # the 2-process test's immediate save->restore). The MPI
+            # analog is the barrier implicit in the reference's
+            # communicator-wide checkpoint step.
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("armon:save_checkpoint")
         return
 
     from ..core.solver import gather_state

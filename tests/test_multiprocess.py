@@ -47,3 +47,27 @@ def test_two_process_golden(tmp_path):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert out.strip().splitlines()[-1] == "MPOK", \
             f"process {pid} output:\n{out}"
+
+    # --- elastic process-count restore: the per-shard snapshot the TWO
+    # processes wrote at cycle 3 (P=(2,1), one shard per process) restores
+    # in THIS single process on a different layout (P=(1,1)) and resumes
+    # bit-exactly — beyond the reference, whose MPI checkpoints are bound
+    # to the writing communicator.
+    import numpy as np
+    from armon_tpu import ArmonParameters, armon, gather_state
+
+    common = dict(test="Sod", data_type=np.float64, scheme="GAD",
+                  projection="euler_2nd", riemann_limiter="minmod",
+                  nghost=4, N=(100, 100), P=(1, 1), silent=5,
+                  measure_time=False, return_data=True)
+    ckpt = os.path.join(str(tmp_path), "mp.ckpt.npz")
+    s2 = armon(ArmonParameters(**dict(common, maxcycle=6)),
+               restore_from=ckpt)
+    s3 = armon(ArmonParameters(**dict(common, maxcycle=6)))
+    assert s2.cycles == s3.cycles == 6
+    a = gather_state(ArmonParameters(**common), s2.data)
+    b = gather_state(ArmonParameters(**common), s3.data)
+    g = 4
+    for var in ("rho", "u", "v", "E"):
+        assert np.array_equal(getattr(a, var)[g:-g, g:-g],
+                              getattr(b, var)[g:-g, g:-g]), var
