@@ -51,9 +51,13 @@ def _device_lines(xspace):
     device_planes = [p for p in xspace.planes
                      if p.name.startswith("/device:") and p.lines]
     if device_planes:
-        for p in device_planes:
-            for line in p.lines:
-                yield p, line
+        # One plane only: SPMD kernels run on every device concurrently,
+        # so summing across planes would multiply each kernel's in-loop
+        # time by the device count. Device 0 is representative (the mesh
+        # gates pin shards bit-exact; load skew shows up as idle gaps,
+        # not kernel-time differences).
+        for line in device_planes[0].lines:
+            yield device_planes[0], line
         return
     for p in xspace.planes:
         if p.name != "/host:CPU":
