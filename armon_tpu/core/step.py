@@ -32,6 +32,11 @@ from .timestep import next_time_step, dt_update
 # CLAUDE.md on why monkeypatching is invisible to the trace cache).
 # Read once at import: per-process selection for interleaved bench A/Bs.
 _SWEEP_VARIANT = os.environ.get("ARMON_SWEEP_VARIANT", "")
+# Measurement knob: drop the p-stream emission from every sweep (final
+# state's p is then WRONG — timing probes only). Quantifies the p store's
+# critical-path cost before committing to an emit-p-on-last-cycle-only
+# loop restructure (BENCH_NOTES round 4).
+_NO_EMIT_P = os.environ.get("ARMON_NO_EMIT_P", "") not in ("", "0")
 
 
 def ghost_exchange(cfg, state, axis: Axis, vars=None):
@@ -174,7 +179,8 @@ def fused_sweep_step(cfg, state, axis: Axis, dt, last=True,
         state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
     out = fused_sweep_ip(
         cfg, axis, state.rho, state.u, state.v, state.E, dt,
-        n_real=_shard_n_real(cfg), emit_p=last, emit_dt=last,
+        n_real=_shard_n_real(cfg), emit_p=last and not _NO_EMIT_P,
+        emit_dt=last,
         interpret=_pallas_interpret(cfg), inline_bc=inline,
         variant=_SWEEP_VARIANT, emit_strips=emit_strips, strips=strips)
     if emit_strips:
