@@ -32,10 +32,11 @@ from .timestep import next_time_step, dt_update
 # CLAUDE.md on why monkeypatching is invisible to the trace cache).
 # Read once at import: per-process selection for interleaved bench A/Bs.
 _SWEEP_VARIANT = os.environ.get("ARMON_SWEEP_VARIANT", "")
-# Measurement knob: drop the p-stream emission from every sweep (final
-# state's p is then WRONG — timing probes only). Quantifies the p store's
-# critical-path cost before committing to an emit-p-on-last-cycle-only
-# loop restructure (BENCH_NOTES round 4).
+# Measurement knob: drop the p-stream emission from the per-sweep fused
+# path (final state's p is then WRONG — timing probes only; the pair
+# path is unaffected). Quantified the p store's critical-path cost as
+# ~zero — the emit-p-on-last-cycle loop restructure it scouted was
+# rejected (BENCH_NOTES round 4).
 _NO_EMIT_P = os.environ.get("ARMON_NO_EMIT_P", "") not in ("", "0")
 
 

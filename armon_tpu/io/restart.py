@@ -111,7 +111,9 @@ def save_checkpoint(path, params, state, t, cycles, dt_prev,
     completed (None = no carry: the jnp tier restores it from `state.c`).
     `per_shard=None` (auto) selects the no-gather per-shard layout for
     sharded runs with `use_MPI` (the distributed-output rule); True/False
-    force it."""
+    force it. In a multi-process run a per-shard save is COLLECTIVE:
+    every process must call it (each writes its addressable shards and
+    all meet a barrier, so any process may restore immediately after)."""
     cfg = params.config
     if per_shard is None:
         per_shard = cfg.spmd and params.use_MPI

@@ -214,7 +214,12 @@ class ArmonParameters:
             _init_distributed(self.coordinator_address, self.num_processes,
                               self.process_id)
         import jax
-        if jax.process_count() > 1 and not self.use_MPI:
+        # is_initialized() first: jax.process_count() initializes the
+        # default backend as a side effect, which would pin the platform
+        # at ArmonParameters construction; uninitialized distributed state
+        # means single-process, nothing to do.
+        if (jax.distributed.is_initialized() and jax.process_count() > 1
+                and not self.use_MPI):
             # Per-shard I/O (`use_MPI`-gated, src/io.jl:46-75) is the only
             # output/checkpoint route that works when shards live on other
             # processes — the gather paths raise a pointed error there.
