@@ -164,26 +164,40 @@ def fused_sweep_step(cfg, state, axis: Axis, dt, last=True,
     minimum of the post-sweep state.
     `last=False` (not the cycle's final sweep) skips the p stream and the
     CFL reduction — neither is observable mid-cycle.
-    Single-device sweeps inline the mirror ghost fill in-kernel — Y via
-    the halo-concat row splice, X via the lane mirror (`_bc_x_apply`) —
-    bitwise identical, saving the 8 slab-write launches per sweep; an X
-    sweep with `emit_strips` additionally emits the following Y sweep's
-    halo side strips (consumed via `strips`), skipping the XLA strip
-    assembly."""
+    Sweeps along a FLAT mesh axis (single device, or proc_dims[ax] == 1 —
+    every shard is a global border there) inline the mirror ghost fill
+    in-kernel — Y via the halo-concat row splice, X via the lane mirror
+    (`_bc_x_apply`) — bitwise identical, saving the 8 slab-write launches
+    per sweep; an X sweep with `emit_strips` additionally emits the
+    following Y sweep's halo side strips (consumed via `strips`),
+    skipping the XLA strip assembly.
+    A sweep along a SHARDED even-split axis consumes its exchanged ghost
+    slabs in-kernel instead (`halo_slabs` + the kernel's `_halo_cat_slab`
+    row splice / `_bc_x_apply_slab` lane splice): the ppermute still
+    moves the O(boundary) slabs, but the 2*nvars dynamic-update-slice
+    write-back launches disappear."""
     from ..ops.pallas.sweep import (fused_sweep_ip, inline_bc_y_ok,
-                                    inline_bc_x_ok)
+                                    inline_bc_x_ok, slab_bc_y_ok,
+                                    slab_bc_x_ok)
+    slab = None
     if axis is Axis.Y:
         inline = inline_bc_y_ok(cfg, state.rho.shape)
+        use_slab = not inline and slab_bc_y_ok(cfg, state.rho.shape)
     else:
         inline = inline_bc_x_ok(cfg)
-    if not inline:
+        use_slab = not inline and slab_bc_x_ok(cfg)
+    if use_slab:
+        from ..parallel.halo import halo_slabs
+        slab = halo_slabs(cfg, state, axis, FUSED_EXCHANGE_VARS)
+    if not inline and slab is None:
         state = ghost_exchange(cfg, state, axis, FUSED_EXCHANGE_VARS)
     out = fused_sweep_ip(
         cfg, axis, state.rho, state.u, state.v, state.E, dt,
         n_real=_shard_n_real(cfg), emit_p=last and not _NO_EMIT_P,
         emit_dt=last,
         interpret=_pallas_interpret(cfg), inline_bc=inline,
-        variant=_SWEEP_VARIANT, emit_strips=emit_strips, strips=strips)
+        variant=_SWEEP_VARIANT, emit_strips=emit_strips, strips=strips,
+        slab=slab)
     if emit_strips:
         rho, u, v, E, p_stale, local_min, strips_out = out
     else:
@@ -206,13 +220,19 @@ def fused_cycle_step(cfg, state, pair, dt, cycle_strips=None):
     consumes them instead of the XLA `_halo_strips` assembly and emits
     this cycle's own — the return gains the strips_out tuple."""
     from ..ops.pallas.sweep import (fused_cycle, inline_bc_cycle_ok,
-                                    inline_bc_x_ok)
+                                    inline_bc_x_ok, slab_bc_cycle_ok)
     T = np.dtype(cfg.dtype).type
     inline_x = inline_bc_x_ok(cfg)
     if not inline_x:
         state = ghost_exchange(cfg, state, Axis.X, FUSED_EXCHANGE_VARS)
     inline = inline_bc_cycle_ok(cfg, state.rho.shape)
-    if not inline:
+    slab = None
+    if not inline and slab_bc_cycle_ok(cfg, state.rho.shape):
+        # Sharded-Y even split: the kernel splices the exchanged slabs
+        # (computed AFTER the X fill branch, matching the XLA fill order).
+        from ..parallel.halo import halo_slabs
+        slab = halo_slabs(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
+    elif not inline:
         state = ghost_exchange(cfg, state, Axis.Y, FUSED_EXCHANGE_VARS)
     (ax0, f0), (ax1, f1) = pair
     x_first = ax0 is Axis.X
@@ -223,7 +243,7 @@ def fused_cycle_step(cfg, state, pair, dt, cycle_strips=None):
         dt * T(fx), dt * T(fy), n_real=_shard_n_real(cfg),
         in_place=True, interpret=_pallas_interpret(cfg), inline_bc=inline,
         inline_bc_x=inline_x, emit_strips=cycle_strips is not None,
-        strips=cycle_strips, variant=_SWEEP_VARIANT)
+        strips=cycle_strips, variant=_SWEEP_VARIANT, slab=slab)
     rho, u, v, E, p_stale, local_min = out[:6]
     strips_out = out[6] if cycle_strips is not None else None
     return (state._replace(rho=rho, u=u, v=v, E=E, p=p_stale), local_min,
@@ -233,14 +253,13 @@ def fused_cycle_step(cfg, state, pair, dt, cycle_strips=None):
 def cycle_strips_on(cfg) -> bool:
     """Whether the pair-kernel path loop-carries its halo side strips
     (emitted by each cycle's kernel for the next — no XLA `_halo_strips`
-    assembly between cycles). Needs: single device, the pair routing
-    active at this size, a strip-compatible tile plan, and EXACTLY one
-    X/Y pair per cycle in both schedules (a trailing odd sweep, e.g.
+    assembly between cycles). Needs: a strip-admissible mesh/tile plan
+    (`cycle_strip_plan` — flat-X mesh with the in-kernel X fill live,
+    even-or-flat Y), the pair routing active at this size, and EXACTLY
+    one X/Y pair per cycle in both schedules (a trailing odd sweep, e.g.
     Strang's, would advance the state after the emission and stale the
     strips)."""
     from ..ops.pallas.sweep import cycle_strip_plan
-    if cfg.spmd:
-        return False
     if not (cfg.pair_threshold > 0
             and max(cfg.n_local) <= cfg.pair_threshold):
         return False

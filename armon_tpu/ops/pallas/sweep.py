@@ -73,9 +73,11 @@ def pallas_supported(cfg) -> bool:
 
 # Measurement knob (read once per process, like ARMON_SWEEP_VARIANT): force
 # the ghost fills OUT of the kernels back onto the XLA slab-write path and
-# drop the self-emitted strip carries — the code shape every SPMD shard
-# runs (`not cfg.spmd` gates below). Lets a single chip A/B the per-shard
-# mesh-path fill penalty without a mesh (VERDICT r3 item 3).
+# drop the self-emitted strip carries — the code shape a shard of a fully
+# 2D-sharded mesh runs (per-axis `proc_dims` gates below: along a FLAT mesh
+# axis the fill is the position-independent mirror and stays in-kernel even
+# on meshes). Lets a single chip A/B the per-shard mesh-path fill penalty
+# without a mesh (VERDICT r3 item 3).
 _FORCE_XLA_FILLS = os.environ.get("ARMON_FORCE_XLA_FILLS", "") not in ("", "0")
 
 
@@ -523,7 +525,7 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
 
 def _halo_cat_bc(above, cur, below, bc_y, f_lo, f_hi, ci, nci):
     """Halo-concatenate one field buffer WITH the Y-axis mirror BC rows
-    spliced in (the in-kernel ghost fill, single-device path): ghost row k
+    spliced in (the in-kernel ghost fill, flat-Y-mesh path): ghost row k
     from the border mirrors real row k, scaled by the per-variable factor
     (`src/halo_exchange.jl:2-36` + `src/tests.jl:150-161`). Bitwise
     identical to the XLA slab-write fill it replaces (same source rows,
@@ -556,25 +558,60 @@ def _halo_cat_bc(above, cur, below, bc_y, f_lo, f_hi, ci, nci):
     return jnp.concatenate(parts, 0)
 
 
-def can_inline_bc_y(cfg, rows, chunk) -> bool:
-    """Whether the Y-axis ghost fill can run inside the kernel: single
-    device (the mesh path's ghost fill is the halo exchange), mirror bands
-    within one tile (g <= 8), and a tail tile tall enough that no OTHER
-    tile's halo strip overlaps the ghost band (tail >= 8 — see the strip
-    staleness analysis in the round-3 notes)."""
-    if cfg.spmd or _FORCE_XLA_FILLS:
-        return False
+def _halo_cat_slab(above, cur, below, geom, slo, shi, ci, nci):
+    """Sharded-Y variant of `_halo_cat_bc`: the ghost rows spliced on the
+    first/last grid steps come from the exchanged slab refs (`halo_slabs`,
+    the ppermute result with the mirror already selected at global
+    borders) instead of the in-tile mirror — bitwise the rows
+    `halo_exchange`'s slab writes would have put there, without the
+    2*nvars dynamic-update-slice launches per sweep. Interior steps
+    reconstruct `cur` exactly (the selects are inactive)."""
+    g, off = geom
+    lo = jnp.where(ci == 0, slo, cur[:g])
+    hi = jnp.where(ci == nci - 1, shi, cur[off:off + g])
+    parts = [above, lo, cur[g:off], hi]
+    if off + g < cur.shape[0]:
+        parts.append(cur[off + g:])
+    parts.append(below)
+    return jnp.concatenate(parts, 0)
+
+
+def _y_splice_geom_ok(cfg, rows, chunk) -> bool:
+    """Shared tile-geometry admissibility for splicing Y ghost rows inside
+    the kernel (mirror `_halo_cat_bc` or exchanged-slab `_halo_cat_slab`):
+    bands within one tile (g <= 8, chunk >= 2g), and a tail tile tall
+    enough that (a) the hi band and its mirror source sit strictly after
+    the lo band within the last tile's cur block (tail >= 3g — the
+    nci == 1 case is then order-independent, matching the sequential
+    lo-then-hi XLA fill) and (b) no OTHER tile's halo strip overlaps the
+    ghost band (tail >= 8 — strip staleness analysis, round-3 notes)."""
     g = cfg.nghost
     if g > 8 or chunk < 2 * g:
         return False
     nci = -(-rows // chunk)
     tail = rows - (nci - 1) * chunk
-    # tail >= 3g keeps the hi mirror band AND its source strictly after
-    # the lo band within the last tile's cur block (the nci == 1 case is
-    # then order-independent, matching the sequential lo-then-hi XLA
-    # fill), and tail >= 8 keeps every other tile's halo strips free of
-    # ghost rows (strip staleness analysis, round-3 notes).
     return tail >= 8 and tail >= 3 * g
+
+
+def can_inline_bc_y(cfg, rows, chunk) -> bool:
+    """Whether the Y-axis MIRROR ghost fill can run inside the kernel: the
+    mesh FLAT along Y (a flat axis makes every shard a global border with
+    the same static mirror factors, so 1D X-meshes keep the in-kernel
+    fill), plus the splice tile geometry."""
+    if cfg.proc_dims[1] != 1 or _FORCE_XLA_FILLS:
+        return False
+    return _y_splice_geom_ok(cfg, rows, chunk)
+
+
+def can_slab_bc_y(cfg, rows, chunk) -> bool:
+    """Whether a SHARDED-Y shard can consume its exchanged ghost slabs
+    (`parallel.halo.halo_slabs`) in-kernel instead of the XLA
+    dynamic-update-slice write-back: even Y split only (the uneven
+    hi-edge shard's band sits at a traced offset the static splice cannot
+    address), plus the same splice tile geometry as the mirror fill."""
+    if cfg.proc_dims[1] == 1 or _FORCE_XLA_FILLS or cfg.uneven(Axis.Y):
+        return False
+    return _y_splice_geom_ok(cfg, rows, chunk)
 
 
 def strip_emission_plan(cfg, shape):
@@ -585,8 +622,18 @@ def strip_emission_plan(cfg, shape):
       (chunk % tile_r == 0, rows % tile_r == 0), with >= 2 tiles per
       chunk and 8-row strips within one tile (tile_r >= 8);
     - rows % chunk == tile_r would need two strip writes in one grid step
-      (the mid and clamped-last below blocks coincide) — excluded."""
-    if cfg.spmd or _FORCE_XLA_FILLS:
+      (the mid and clamped-last below blocks coincide) — excluded.
+
+    Valid on meshes too (round 4): the consuming Y kernel is column-local,
+    so the strips' stale X-ghost lanes only feed dead ghost-lane outputs,
+    and `rows % tile_r == 0` + `tail > tile_r` force every consumed strip
+    row out of the static Y ghost bands (tail is a multiple of tile_r, so
+    tail >= 2*tile_r >= 16 >= g+8). The one exclusion is an UNEVEN
+    Y-sharded split: the hi-edge shard's ghost band sits at a traced
+    position these static guards cannot exclude."""
+    if _FORCE_XLA_FILLS or cfg.nghost > 8:
+        return None
+    if cfg.proc_dims[1] != 1 and cfg.uneven(Axis.Y):
         return None
     from ...parallel.blocking import plan_tiles
     rows, cols = shape
@@ -620,6 +667,16 @@ def inline_bc_y_ok(cfg, shape) -> bool:
     return can_inline_bc_y(cfg, rows, plan.y_chunk_rows)
 
 
+def slab_bc_y_ok(cfg, shape) -> bool:
+    """step.py-facing: can the PER-SWEEP Y kernel consume exchanged ghost
+    slabs in-kernel (sharded-Y even split)?"""
+    from ...parallel.blocking import plan_tiles
+    rows, cols = shape
+    plan = plan_tiles(rows, cols, np.dtype(cfg.dtype).itemsize,
+                      getattr(cfg, "block_size", None))
+    return can_slab_bc_y(cfg, rows, plan.y_chunk_rows)
+
+
 def inline_bc_cycle_ok(cfg, shape) -> bool:
     """step.py-facing: can the WHOLE-CYCLE kernel inline the Y ghost fill?"""
     from ...parallel.blocking import cycle_chunk_rows
@@ -627,6 +684,16 @@ def inline_bc_cycle_ok(cfg, shape) -> bool:
     chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize,
                              getattr(cfg, "block_size", None))
     return can_inline_bc_y(cfg, rows, chunk)
+
+
+def slab_bc_cycle_ok(cfg, shape) -> bool:
+    """step.py-facing: can the WHOLE-CYCLE kernel consume exchanged Y ghost
+    slabs in-kernel (sharded-Y even split)?"""
+    from ...parallel.blocking import cycle_chunk_rows
+    rows, cols = shape
+    chunk = cycle_chunk_rows(rows, cols, np.dtype(cfg.dtype).itemsize,
+                             getattr(cfg, "block_size", None))
+    return can_slab_bc_y(cfg, rows, chunk)
 
 
 def cycle_strip_plan(cfg, shape):
@@ -638,10 +705,22 @@ def cycle_strip_plan(cfg, shape):
     The never-written blocks (above 0, below nci-1) are the clamped
     placeholders whose consumed results land only in dead ghost rows (the
     same argument as `_halo_strips`' clamping), so their garbage content
-    is unobservable. Returns (chunk, nci) or None (mesh shards exchange
-    halos instead; a ragged tail < 8 rows would leave the last step's
-    below-strip write short)."""
-    if cfg.spmd or _FORCE_XLA_FILLS:
+    is unobservable. Returns (chunk, nci) or None (a ragged tail < 8 rows
+    would leave the last step's below-strip write short).
+
+    Mesh admissibility (round 4): the kernel X-re-sweeps the strip halo
+    rows, whose X-ghost lanes are stale kernel output — so the in-kernel
+    X mirror fill MUST be live to refresh them (`inline_bc_x_ok`: flat-X
+    mesh, nx >= g; without it, a degenerate-width nx < nghost grid
+    produced ~5e-8 f64 tier diffs — found round 4). A sharded X axis is
+    excluded for the same reason (its fresh ghost lanes exist only in the
+    exchanged main arrays, not the carried strips). A sharded EVEN Y split
+    is fine (consumed strip rows stay out of the static ghost bands:
+    chunk >= g+4 and the tail guard); an UNEVEN one has a traced band —
+    excluded like `strip_emission_plan`."""
+    if _FORCE_XLA_FILLS or not inline_bc_x_ok(cfg):
+        return None
+    if cfg.proc_dims[1] != 1 and cfg.uneven(Axis.Y):
         return None
     from ...parallel.blocking import cycle_chunk_rows
     rows, cols = shape
@@ -655,7 +734,11 @@ def cycle_strip_plan(cfg, shape):
     # values are dead garbage (same analysis as `strip_emission_plan` —
     # tail >= nghost + 4; tail >= 8 keeps the strip write itself whole).
     # With tail < that, fall back to the per-cycle XLA strip assembly.
-    if nci >= 2 and tail < max(8, cfg.nghost + 4):
+    # chunk >= g+4 keeps chunk 1's consumed above-strip rows
+    # [chunk-4, chunk) out of the lo ghost band (trivially true for the
+    # planner's chunks, >= 64 at multi-chunk heights — kept explicit).
+    if nci >= 2 and (tail < max(8, cfg.nghost + 4)
+                     or chunk < cfg.nghost + 4):
         return None
     return (chunk, nci)
 
@@ -674,6 +757,15 @@ def _bc_y_spec(cfg, rows, chunk):
     nci = -(-rows // chunk)
     off = (rows - g) - (nci - 1) * chunk
     return ((g, off), lo_fs, hi_fs)
+
+
+def _slab_y_spec(cfg, rows, chunk):
+    """(g, off) geometry for `_halo_cat_slab` — no factors: the slab
+    content already carries the mirror-vs-neighbor selection."""
+    g = cfg.nghost
+    nci = -(-rows // chunk)
+    off = (rows - g) - (nci - 1) * chunk
+    return (g, off)
 
 
 def _bc_x_apply(a, g, nx, f_lo, f_hi):
@@ -725,17 +817,67 @@ def _bc_x_apply(a, g, nx, f_lo, f_hi):
     return jnp.concatenate(parts, 1)
 
 
+def _bc_x_apply_slab(a, g, R0, lo_blk, hi_blk):
+    """Sharded-X variant of `_bc_x_apply`: splice the exchanged ghost
+    lanes from pre-positioned slab blocks (`halo_slabs` output padded so
+    the band content already sits at its target lanes; zeros elsewhere)
+    via lane selects on the two 128-aligned boundary slices — no rolls
+    needed. Bitwise the lanes the XLA dynamic-update-slice write-back
+    would have put there; interior lanes pass through untouched (the
+    concat cuts are the same aligned 128/R0 cuts as `_bc_x_apply`)."""
+    cols = a.shape[1]
+
+    def sel(sl, blk, lo_t, hi_t, base):
+        lane = jax.lax.broadcasted_iota(jnp.int32, sl.shape, 1)
+        t = (lane >= lo_t - base) & (lane < hi_t - base)
+        return jnp.where(t, blk, sl)
+
+    if R0 < 128:
+        # Narrow array: one whole-width region, both bands in it.
+        out = sel(a, lo_blk, 0, g, 0)
+        return sel(out, hi_blk, cols - g, cols, 0)
+    parts = [sel(a[:, :128], lo_blk, 0, g, 0)]
+    if R0 > 128:
+        parts.append(a[:, 128:R0])
+    parts.append(sel(a[:, R0:], hi_blk, cols - g, cols, R0))
+    return jnp.concatenate(parts, 1)
+
+
+def slab_x_regions(cfg, cols):
+    """(g, R0, W_l, W_r) lane geometry for the X slab splice: the lo
+    region is the first 128-lane slice (or the whole width when
+    R0 < 128), the hi region is [R0, cols) — `_bc_x_apply`'s aligned
+    boundary slice."""
+    g = cfg.nghost
+    R0 = 128 * ((cols - 2 * g) // 128)
+    if R0 < 128:
+        return (g, 0, cols, cols)
+    return (g, R0, 128, cols - R0)
+
+
+def slab_bc_x_ok(cfg) -> bool:
+    """step.py-facing: can the PER-SWEEP X kernel consume exchanged ghost
+    slabs in-kernel (sharded-X even split)? Needs static band positions
+    (even split; the params guard already forces n_local[0] >= nghost on
+    sharded axes) with each band inside one 128-aligned boundary slice
+    (g <= 8 keeps that trivially true)."""
+    return (cfg.proc_dims[0] > 1 and not _FORCE_XLA_FILLS
+            and not cfg.uneven(Axis.X) and cfg.nghost <= 8)
+
+
 def inline_bc_x_ok(cfg) -> bool:
-    """Whether the X-axis ghost fill can run inside the kernels: single
-    device only (the mesh path's X fill is the halo exchange / the traced
-    edge-shard BC, which needs shard-position-dependent factors).
+    """Whether the X-axis ghost fill can run inside the kernels: the mesh
+    FLAT along X only (a sharded X axis fills its ghosts from the halo
+    exchange, with shard-position-dependent factors; a flat axis makes
+    every shard a global X border with the same static mirror factors, so
+    1D Y-meshes keep the in-kernel fill — round 4).
     Degenerate-width guards (fall back to the XLA fill, which is
     sequential left-then-right): nx >= nghost keeps the right mirror's
     source lanes [nx, nx+g) out of the left ghost band that the XLA fill
     would have refreshed first, and g <= 64 keeps `_bc_x_apply`'s roll
     amounts (up to 2g-1) within one 128-lane boundary slice."""
     g = cfg.nghost
-    return (not cfg.spmd and not _FORCE_XLA_FILLS
+    return (cfg.proc_dims[0] == 1 and not _FORCE_XLA_FILLS
             and cfg.n_local[0] >= g and g <= 64)
 
 
@@ -805,17 +947,18 @@ def _dt_from_tiles(cfg, dt_tiles):
 
 
 def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
-                    bc_x, dt_ref, lim_ref, *refs):
+                    bc_x, slab_x, dt_ref, lim_ref, *refs):
     T = np.dtype(cfg.dtype).type
     dt = dt_ref[0, 0]
     i = pl.program_id(0)
     if strips:
         flags_ref = refs[0]
-        rho_ref, u_ref, v_ref, E_ref = refs[1:5]
-        outs = refs[5:]
-    else:
-        rho_ref, u_ref, v_ref, E_ref = refs[0:4]
-        outs = refs[4:]
+        refs = refs[1:]
+    if slab_x is not None:
+        slo, shi = refs[:4], refs[4:8]
+        refs = refs[8:]
+    rho_ref, u_ref, v_ref, E_ref = refs[0:4]
+    outs = refs[4:]
 
     def sh(a, k):
         # STATIC shift: jnp.roll with a trace-time-constant shift lowers to
@@ -826,13 +969,20 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
 
     rho, u, v, E = rho_ref[:], u_ref[:], v_ref[:], E_ref[:]
     if bc_x is not None:
-        # In-kernel X mirror ghost fill (single-device): saves the 8
+        # In-kernel X mirror ghost fill (flat-X mesh): saves the 8
         # pre-sweep XLA slab-write launches; row-local, so alias-safe.
         gx, nxs, lo_x, hi_x = bc_x
         rho = _bc_x_apply(rho, gx, nxs, lo_x[0], hi_x[0])
         u = _bc_x_apply(u, gx, nxs, lo_x[1], hi_x[1])
         v = _bc_x_apply(v, gx, nxs, lo_x[2], hi_x[2])
         E = _bc_x_apply(E, gx, nxs, lo_x[3], hi_x[3])
+    elif slab_x is not None:
+        # Sharded-X shard: splice the exchanged ghost lanes in-kernel.
+        g_x, R0_x = slab_x
+        rho = _bc_x_apply_slab(rho, g_x, R0_x, slo[0][:], shi[0][:])
+        u = _bc_x_apply_slab(u, g_x, R0_x, slo[1][:], shi[1][:])
+        v = _bc_x_apply_slab(v, g_x, R0_x, slo[2][:], shi[2][:])
+        E = _bc_x_apply_slab(E, g_x, R0_x, slo[3][:], shi[3][:])
     rho2, u2, v2, E2, p_st, c_st = _sweep_math(cfg, sh, dt, T(cfg.dx),
                                                rho, u, v, E,
                                                _make_div(cfg, interp),
@@ -906,32 +1056,47 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
 
 
 def _y_sweep_kernel(cfg, chunk, tile_c, halo_blk, emit_p, emit_dt, interp,
-                    variant, bc_y,
-                    dt_ref, lim_ref,
-                    rho_c, rho_a, rho_b, u_c, u_a, u_b,
-                    v_c, v_a, v_b, E_c, E_a, E_b, *outs):
+                    variant, bc_y, slab_y,
+                    dt_ref, lim_ref, *refs):
     T = np.dtype(cfg.dtype).type
     dt = dt_ref[0, 0]
     ci = pl.program_id(0)
     cj = pl.program_id(1)
+    if slab_y is not None:
+        slo_ref, shi_ref = refs[0], refs[1]
+        refs = refs[2:]
+    (rho_c, rho_a, rho_b, u_c, u_a, u_b,
+     v_c, v_a, v_b, E_c, E_a, E_b) = refs[:12]
+    outs = refs[12:]
     # Concatenate the FULL 8-row halo blocks (not just the 4 rows the
     # stencil needs): the output slice then starts at row 8 — sublane-
     # aligned, so the per-output realignment rotate disappears. The 4
     # extra dead rows per side cost ~1.5% extra compute at chunk=256.
     H = halo_blk
 
-    if bc_y is None:
-        def halo_cat(cur, above, below, k):
-            # Wrong values at the padded edges land in cells whose results
-            # are never read (outer ghost ring).
-            return jnp.concatenate([above[:], cur, below[:]], 0)
-    else:
+    if bc_y is not None:
         geom, lo_fs, hi_fs = bc_y
         nci = pl.num_programs(0)
 
         def halo_cat(cur, above, below, k):
             return _halo_cat_bc(above[:], cur, below[:], geom,
                                 lo_fs[k], hi_fs[k], ci, nci)
+    elif slab_y is not None:
+        # Sharded-Y shard: splice the exchanged ghost slabs (stacked
+        # (4g, cols) refs, per-var bands) on the first/last grid steps.
+        g_s = slab_y[0]
+        nci = pl.num_programs(0)
+
+        def halo_cat(cur, above, below, k):
+            return _halo_cat_slab(above[:], cur, below[:], slab_y,
+                                  slo_ref[k * g_s:(k + 1) * g_s, :],
+                                  shi_ref[k * g_s:(k + 1) * g_s, :],
+                                  ci, nci)
+    else:
+        def halo_cat(cur, above, below, k):
+            # Wrong values at the padded edges land in cells whose results
+            # are never read (outer ghost ring).
+            return jnp.concatenate([above[:], cur, below[:]], 0)
 
     rho = halo_cat(rho_c[:], rho_a[:], rho_b[:], 0)
     u = halo_cat(u_c[:], u_a[:], u_b[:], 1)
@@ -1029,7 +1194,8 @@ def _halo_strips(x, chunk, rows):
                                              "emit_strips"))
 def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
                    emit_p=True, emit_dt=True, interpret=False, variant="",
-                   inline_bc=False, emit_strips=False, strips=None):
+                   inline_bc=False, emit_strips=False, strips=None,
+                   slab=None):
     """In-place variant of `fused_sweep`: the four field outputs ALIAS their
     input buffers (`input_output_aliases`), so inside the jitted time loop
     XLA updates the while-loop carry with zero full-array copies (the
@@ -1051,7 +1217,11 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
     separate XLA assembly round) — requires `strip_emission_plan` to be
     non-None for this shape. `strips` (Y only): an ((above x4), (below x4))
     tuple from a preceding emit_strips X sweep, used instead of the
-    `_halo_strips` assembly.
+    `_halo_strips` assembly. `slab` (Y only, sharded-Y shards): the
+    stacked (4, g, cols) (ghosts_lo, ghosts_hi) pair from
+    `parallel.halo.halo_slabs`, spliced in-kernel (`_halo_cat_slab`)
+    instead of the XLA dynamic-update-slice ghost-band write-back —
+    requires `can_slab_bc_y` (and excludes `inline_bc`).
 
     Ghost bands along `axis` must be pre-filled (mirror BC / halo
     exchange) unless `inline_bc` — then the single-device mirror fill
@@ -1081,7 +1251,6 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
                                   memory_space=pltpu.VMEM)
         strip_specs, strip_shapes = [], []
         extra_in_specs, extra_args = [], []
-        aliases = {2: 0, 3: 1, 4: 2, 5: 3}
         if emit_strips:
             se = strip_emission_plan(cfg, (rows, cols))
             assert se is not None and se[0] == tile_r
@@ -1104,7 +1273,6 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
             extra_in_specs = [pl.BlockSpec((nci_x, 2), lambda i: _im(0, 0),
                                            memory_space=pltpu.SMEM)]
             extra_args = [jnp.asarray(flags)]
-            aliases = {3: 0, 4: 1, 5: 2, 6: 3}
 
             # All-int32 map arithmetic: under jax_enable_x64 the traced
             # grid index is i64 and Mosaic's scalar lowering recurses
@@ -1133,9 +1301,35 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
         if inline_bc:
             assert inline_bc_x_ok(cfg)
             bc_x = _bc_x_spec(cfg)
+        slab_x = None
+        if slab is not None:
+            # Sharded-X exchanged ghost lanes, spliced in-kernel: the raw
+            # (rows, g) slabs are XLA-padded once per sweep so the band
+            # content sits at its in-region target lanes (zeros elsewhere
+            # — never selected); these pads fuse with the ppermute
+            # unstack/select, unlike the 8 full-array DUS write-backs
+            # they replace.
+            assert bc_x is None and slab_bc_x_ok(cfg)
+            g_s, R0_s, W_l, W_r = slab_x_regions(cfg, cols)
+            slab_x = (g_s, R0_s)
+            lo_spec = pl.BlockSpec((tile_r, W_l), lambda i: _im(i, 0),
+                                   memory_space=pltpu.VMEM)
+            hi_spec = pl.BlockSpec((tile_r, W_r), lambda i: _im(i, 0),
+                                   memory_space=pltpu.VMEM)
+            hi_off = (cols - g_s) - R0_s
+            slab_in_specs = [lo_spec] * 4 + [hi_spec] * 4
+            slab_args = ([jnp.pad(slab[0][k], ((0, 0), (0, W_l - g_s)))
+                          for k in range(4)]
+                         + [jnp.pad(slab[1][k],
+                                    ((0, 0), (hi_off, W_r - hi_off - g_s)))
+                            for k in range(4)])
+            extra_in_specs = extra_in_specs + slab_in_specs
+            extra_args = extra_args + slab_args
+        base_in = 2 + len(extra_in_specs)
+        aliases = {base_in + k: k for k in range(4)}
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
                                    emit_p, emit_dt, interpret, variant,
-                                   emit_strips, bc_x)
+                                   emit_strips, bc_x, slab_x)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1175,15 +1369,31 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
         if inline_bc:
             assert can_inline_bc_y(cfg, rows, chunk)
             bc_y = _bc_y_spec(cfg, rows, chunk)
+        slab_y = None
+        if slab is not None:
+            assert bc_y is None and can_slab_bc_y(cfg, rows, chunk)
+            slab_y = _slab_y_spec(cfg, rows, chunk)
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
                                    8, emit_p, emit_dt, interpret, variant,
-                                   bc_y)
+                                   bc_y, slab_y)
         smem = pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
                             memory_space=pltpu.SMEM)
         in_specs = [smem,
                     pl.BlockSpec((1, 2), lambda i, j: _im(0, 0),
                                  memory_space=pltpu.SMEM)]
         args = [dt_arr, lim_arr]
+        if slab_y is not None:
+            # Stacked (4g, cols) lo/hi slab inputs, one (4g, tile_c) block
+            # re-fetched per grid step (O(g) rows — noise next to the
+            # (chunk, tile_c) field blocks).
+            g_s = cfg.nghost
+            slab_spec = pl.BlockSpec((4 * g_s, tile_c),
+                                     lambda i, j: _im(0, j),
+                                     memory_space=pltpu.VMEM)
+            in_specs += [slab_spec, slab_spec]
+            args += [slab[0].reshape(4 * g_s, cols),
+                     slab[1].reshape(4 * g_s, cols)]
+        base_in = len(args)
         aliases = {}
         # NOTE (round-3 negative result): reading the BELOW halo straight
         # from the aliased main array via an index map (it is only written
@@ -1196,7 +1406,7 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
                 above, below = strips[0][k], strips[1][k]
             else:
                 above, below = _halo_strips(a, chunk, rows)
-            aliases[2 + 3 * k] = k
+            aliases[base_in + 3 * k] = k
             in_specs += [cur, strip, strip]
             args += [a, above, below]
         out = pl.pallas_call(
@@ -1244,7 +1454,8 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
         field_spec = pl.BlockSpec((tile_r, cols), lambda i: _im(i, 0),
                                   memory_space=pltpu.VMEM)
         kernel = functools.partial(_x_sweep_kernel, cfg, tile_r,
-                                   True, True, interpret, "", None, None)
+                                   True, True, interpret, "", None, None,
+                                   None)
         dtmin_spec = pl.BlockSpec((8, 128), lambda i: _im(0, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
@@ -1288,7 +1499,8 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
                              memory_space=pltpu.VMEM)
 
         kernel = functools.partial(_y_sweep_kernel, cfg, chunk, tile_c,
-                                   halo_blk, True, True, interpret, "", None)
+                                   halo_blk, True, True, interpret, "", None,
+                                   None)
         in_specs = [pl.BlockSpec((1, 1), lambda i, j: _im(0, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((1, 2), lambda i, j: _im(0, 0),
@@ -1317,12 +1529,9 @@ def fused_sweep(cfg, axis, rho, u, v, E, dt, n_real=None, interpret=False):
 
 # ------------------------------------------------- fully-fused cycle kernel
 
-def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x, emit_strips,
-                  variant,
-                  dtx_ref, dty_ref, lim_ref,
-                  rho_c, rho_a, rho_b, u_c, u_a, u_b,
-                  v_c, v_a, v_b, E_c, E_a, E_b,
-                  rho_o, u_o, v_o, E_o, p_o, *rest):
+def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, slab_y, bc_x,
+                  emit_strips, variant,
+                  dtx_ref, dty_ref, lim_ref, *refs):
     """Both sweeps of one cycle on a (chunk + 8)-row full-width tile.
 
     Valid because (a) the X sweep is row-local, so computing it on the halo
@@ -1341,17 +1550,39 @@ def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x, emit_strips,
 
     halo_blk = 8
 
-    if bc_y is None:
-        def halo_cat(cur, above, below, k):
-            return jnp.concatenate([above[halo_blk - H:, :], cur,
-                                    below[:H, :]], 0)
-    else:
+    if slab_y is not None:
+        slo_ref, shi_ref = refs[0], refs[1]
+        refs = refs[2:]
+    (rho_c, rho_a, rho_b, u_c, u_a, u_b,
+     v_c, v_a, v_b, E_c, E_a, E_b) = refs[:12]
+    rho_o, u_o, v_o, E_o, p_o = refs[12:17]
+    rest = refs[17:]
+
+    if bc_y is not None:
         geom, lo_fs, hi_fs = bc_y
         nci = pl.num_programs(0)
 
         def halo_cat(cur, above, below, k):
             return _halo_cat_bc(above[halo_blk - H:, :], cur, below[:H, :],
                                 geom, lo_fs[k], hi_fs[k], ci, nci)
+    elif slab_y is not None:
+        # Sharded-Y shard: splice the exchanged ghost slabs. The bc_x
+        # mirror below applies AFTER the splice, so ghost-row corners get
+        # f_x * (exchanged value) — bitwise the XLA order (the exchange
+        # ships rows whose X-ghost lanes the X fill then refreshes).
+        g_s = slab_y[0]
+        nci = pl.num_programs(0)
+
+        def halo_cat(cur, above, below, k):
+            return _halo_cat_slab(above[halo_blk - H:, :], cur, below[:H, :],
+                                  slab_y,
+                                  slo_ref[k * g_s:(k + 1) * g_s, :],
+                                  shi_ref[k * g_s:(k + 1) * g_s, :],
+                                  ci, nci)
+    else:
+        def halo_cat(cur, above, below, k):
+            return jnp.concatenate([above[halo_blk - H:, :], cur,
+                                    below[:H, :]], 0)
 
     rho = halo_cat(rho_c[:], rho_a[:], rho_b[:], 0)
     u = halo_cat(u_c[:], u_a[:], u_b[:], 1)
@@ -1447,13 +1678,14 @@ def _cycle_kernel(cfg, chunk, x_first, interp, bc_y, bc_x, emit_strips,
 def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
                 in_place=False, interpret=False, inline_bc=False,
                 inline_bc_x=False, emit_strips=False, strips=None,
-                variant=""):
+                variant="", slab=None):
     """One full cycle (two sweeps) in a single fused kernel pass — the
     small-grid kernel (one launch per cycle; above `pair_threshold` the
     per-sweep kernels win, see core/step.py routing). BOTH ghost bands
     of rho/u/v/E must be pre-filled from the pre-cycle state — except
     bands whose fill is inlined (`inline_bc` = Y mirror rows,
-    `inline_bc_x` = X mirror lanes; single device only).
+    `inline_bc_x` = X mirror lanes; each requires the mesh FLAT along
+    that axis — see `can_inline_bc_y` / `inline_bc_x_ok`).
     `in_place`: the four field outputs alias their inputs (while-carry copy
     elimination) — halo rows come from `_halo_strips` side buffers so no
     grid step reads main-array rows outside its own block. `strips`: an
@@ -1493,6 +1725,23 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
                             memory_space=pltpu.SMEM)
     in_specs = [smem, smem, lim_spec]
     args = [dtx, dty, lim_arr]
+    bc_y = None
+    if inline_bc:
+        assert in_place and can_inline_bc_y(cfg, rows, chunk)
+        bc_y = _bc_y_spec(cfg, rows, chunk)
+    slab_y = None
+    if slab is not None:
+        # Sharded-Y exchanged ghost slabs, spliced in-kernel (see
+        # `fused_sweep_ip`'s slab mode).
+        assert in_place and bc_y is None and can_slab_bc_y(cfg, rows, chunk)
+        slab_y = _slab_y_spec(cfg, rows, chunk)
+        g_s = cfg.nghost
+        slab_spec = pl.BlockSpec((4 * g_s, cols), lambda i: _im(0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [slab_spec, slab_spec]
+        args += [slab[0].reshape(4 * g_s, cols),
+                 slab[1].reshape(4 * g_s, cols)]
+    base_in = len(args)
     aliases = {}
     if in_place:
         strip = pl.BlockSpec((halo_blk, cols), lambda i: _im(i, 0),
@@ -1503,7 +1752,7 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
             else:
                 above_s, below_s = _halo_strips(a, chunk, rows)
             in_specs += [cur, strip, strip]
-            aliases[3 + 3 * k] = k
+            aliases[base_in + 3 * k] = k
             args += [a, above_s, below_s]
     else:
         above = pl.BlockSpec((halo_blk, cols), above_map,
@@ -1514,10 +1763,6 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
             in_specs += [cur, above, below]
             args += [a, a, a]
 
-    bc_y = None
-    if inline_bc:
-        assert in_place and can_inline_bc_y(cfg, rows, chunk)
-        bc_y = _bc_y_spec(cfg, rows, chunk)
     bc_x = None
     if inline_bc_x:
         assert inline_bc_x_ok(cfg)
@@ -1542,7 +1787,7 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
         strip_out_shapes = [jax.ShapeDtypeStruct((nci_c * 8, cols),
                                                  cfg.dtype)] * 8
     kernel = functools.partial(_cycle_kernel, cfg, chunk, x_first, interpret,
-                               bc_y, bc_x, emit_strips, variant)
+                               bc_y, slab_y, bc_x, emit_strips, variant)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -38,20 +38,18 @@ def _bc_factors(cfg, side, vars):
     return np.asarray(facs, dtype=cfg.dtype).reshape((len(vars),) + (1, 1))
 
 
-def halo_exchange(cfg, state, axis: Axis, vars=COMM_VARS):
-    """Exchange the `nghost`-wide halo slabs of `vars` along `axis`
-    with both mesh neighbours; apply mirror BC at global borders."""
+def _ghost_slabs(cfg, arrs, axis: Axis, vars):
+    """The exchanged/mirrored ghost slab CONTENT along `axis` — the values
+    `halo_exchange` writes into the ghost bands, without the write-back.
+    Returns (ghosts_lo, ghosts_hi, dst_start): stacked (nvars, ...) slab
+    arrays (g rows / g lanes deep) and the hi-side write offset (traced
+    only under an uneven split)."""
     n_dev = cfg.proc_dims[int(axis)]
-    if n_dev == 1:
-        # Mesh is flat along this axis: only the global BC applies.
-        return boundary_conditions(cfg, state, axis, vars)
-
     ax_name = cfg.axis_names[int(axis)]
     g = cfg.nghost
     arr_ax = axis.array_axis
     idx = lax.axis_index(ax_name)
 
-    arrs = [getattr(state, v) for v in vars]
     size = arrs[0].shape[arr_ax]
 
     def slab(a, lo, hi):
@@ -97,6 +95,21 @@ def halo_exchange(cfg, state, axis: Axis, vars=COMM_VARS):
         ghosts_hi = jnp.where(idx == n_dev - 1, mirror_hi, recv_from_next)
         dst_start = np.int32(size - g)
 
+    return ghosts_lo, ghosts_hi, dst_start
+
+
+def halo_exchange(cfg, state, axis: Axis, vars=COMM_VARS):
+    """Exchange the `nghost`-wide halo slabs of `vars` along `axis`
+    with both mesh neighbours; apply mirror BC at global borders."""
+    n_dev = cfg.proc_dims[int(axis)]
+    if n_dev == 1:
+        # Mesh is flat along this axis: only the global BC applies.
+        return boundary_conditions(cfg, state, axis, vars)
+
+    arr_ax = axis.array_axis
+    arrs = [getattr(state, v) for v in vars]
+    ghosts_lo, ghosts_hi, dst_start = _ghost_slabs(cfg, arrs, axis, vars)
+
     updates = {}
     for k, (v, a) in enumerate(zip(vars, arrs)):
         a = lax.dynamic_update_slice_in_dim(a, ghosts_lo[k], np.int32(0),
@@ -105,3 +118,18 @@ def halo_exchange(cfg, state, axis: Axis, vars=COMM_VARS):
                                             axis=arr_ax)
         updates[v] = a
     return state._replace(**updates)
+
+
+def halo_slabs(cfg, state, axis: Axis, vars):
+    """Fused-tier halo exchange WITHOUT the write-back: return the stacked
+    (nvars, ...) ghost slab pair for in-kernel consumption (the slab mode
+    of `ops/pallas/sweep.py`), so the 2*nvars dynamic-update-slice
+    launches per sweep disappear and only the O(boundary) ppermute
+    remains. EVEN splits along `axis` only: the uneven hi-edge shard's
+    ghost band sits at a traced offset the kernels' static splice cannot
+    address (those configs keep `halo_exchange`)."""
+    n_dev = cfg.proc_dims[int(axis)]
+    assert n_dev > 1 and not cfg.uneven(axis)
+    arrs = [getattr(state, v) for v in vars]
+    ghosts_lo, ghosts_hi, _ = _ghost_slabs(cfg, arrs, axis, vars)
+    return ghosts_lo, ghosts_hi

@@ -291,6 +291,58 @@ def test_uneven_split_shapes():
         reference_params("Sod", np.float64, N=(9, 9), P=(4, 1)).config
 
 
+@pytest.mark.parametrize("routing", ["pair", "persweep"])
+def test_fused_mesh_slab_fills(routing):
+    """Round-4 in-kernel mesh ghost fills: fused-tier mesh runs must stay
+    correct with (a) the flat-axis mirror inlined in-kernel, (b) the
+    sharded-axis exchanged slabs spliced in-kernel (`halo_slabs` +
+    `_halo_cat_slab`/`_bc_x_apply_slab`), and (c) the strip carries live
+    on admissible meshes. Flat-X meshes are pinned BIT-exact vs single
+    device; sharded-X meshes carry the known cross-layout FMA-contraction
+    artifact of the CPU test backend (CLAUDE.md invariant 2 caveat —
+    measured byte-identical under ARMON_FORCE_XLA_FILLS, i.e. not a value
+    change) and are gated ulp-tight instead. The program shape itself is
+    pinned: the traced loop must contain ZERO ghost-band
+    dynamic-update-slice write-backs on even-split meshes (per-sweep
+    routing; the pair routing keeps the X-exchange write-back)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    kw = {"pair_threshold": 0} if routing == "persweep" else {}
+
+    def run(P=None):
+        p = reference_params("Sod_circ", np.float64, maxcycle=15,
+                             kernel_tier="pallas",
+                             **(dict(P=P) if P else {}), **kw)
+        state = make_init(p)()
+        loop = make_jit_loop(p)
+        out, t, cycles, dt, lm, ok = loop(state)
+        assert bool(ok)
+        return gather_state(p, out), int(cycles), float(dt), p
+
+    ref, rc, rdt, _ = run()
+    for P, exact in [((1, 2), True), ((1, 4), True), ((2, 2), False)]:
+        host, cycles, dt, p = run(P)
+        assert cycles == rc
+        g = p.nghost
+        for var in ("rho", "u", "v", "E"):
+            a = np.asarray(getattr(ref, var))[g:-g, g:-g]
+            b = np.asarray(getattr(host, var))[g:-g, g:-g]
+            if exact:
+                assert dt == rdt
+                assert np.array_equal(a, b), f"{var} differs on mesh {P}"
+            else:
+                assert np.allclose(a, b, rtol=1e-12, atol=1e-13), \
+                    f"{var} beyond ulp drift on mesh {P}"
+
+    if routing == "persweep":
+        # Program-shape gate: no ghost-band write-backs left per cycle.
+        p = reference_params("Sod_circ", np.float64, maxcycle=15, P=(2, 2),
+                             kernel_tier="pallas", **kw)
+        text = str(jax.make_jaxpr(make_jit_loop(p))(make_init(p)()))
+        assert " dynamic_update_slice[" not in text and \
+            " dynamic_update_slice " not in text
+
+
 def test_dryrun_entry():
     """`__graft_entry__.dryrun_multichip` must compile and run on the
     virtual mesh."""

@@ -395,6 +395,41 @@ def test_random_tiny_grid(seed):
             assert np.all(np.isfinite(b[v])), f"{v} not finite: {label}"
 
 
+@pytest.mark.parametrize("test", ["Sod", "Sod_circ"])
+def test_tall_degenerate_width_strip_carry(test):
+    """Round-4 regression: a TALL degenerate-width grid (nx < nghost, so
+    `inline_bc_x_ok` is False, with rows > 264 so the pair kernel multi-
+    chunks and its strip carry is live). The carried strips' X-ghost lanes
+    are stale kernel output; without the in-kernel X mirror fill the pair
+    kernel's halo-row X re-sweep read them — ~5e-8 f64 tier drift.
+    `cycle_strip_plan` must refuse (falls back to the per-cycle XLA strip
+    assembly, which reads the freshly XLA-filled main arrays). The tiny-
+    grid fuzz missed this: its tall extent caps at 23 rows (nci == 1,
+    strips all dead placeholders)."""
+    from armon_tpu.core.step import cycle_strips_on
+    opts = dict(test=test, N=(3, 400), maxcycle=12, data_type=np.float64,
+                write_output=False, measure_time=False,
+                axis_splitting="Godunov")
+    g = ArmonParameters(kernel_tier="jnp", **opts).nghost
+    assert 3 < g, "the window needs nx < nghost"
+
+    def run(tier):
+        p = ArmonParameters(kernel_tier=tier, **opts)
+        if tier == "pallas":
+            assert not cycle_strips_on(p.config), \
+                "strip carry must be refused when the X fill is not inline"
+        state = make_init(p)()
+        state, t, cycles, dt, lm, ok = make_jit_loop(p)(state)
+        assert bool(ok)
+        host = gather_state(p, state)
+        return {v: np.asarray(getattr(host, v))[g:-g, g:-g]
+                for v in ("rho", "u", "v", "E")}
+
+    a, b = run("jnp"), run("pallas")
+    for v in a:
+        assert np.allclose(a[v], b[v], rtol=1e-11, atol=1e-13), v
+
+
 def test_provenance_not_saver_tier(tmp_path):
     """The carry-less-save refusal keys on the state's PROVENANCE (how the
     run that produced it executed), not the saving params' configured
