@@ -245,6 +245,89 @@ def main():
           worst <= 1e-4,
           "bit-exact" if bit else f"max normalized diff {worst:.2e}")
 
+    # Round-4 mesh slab splices on COMPILED Mosaic: the sharded-axis
+    # in-kernel ghost consumption (`halo_slabs` + `_halo_cat_slab` /
+    # `_bc_x_apply_slab`) never executes on a 1-chip mesh, but
+    # pallas_call is per-shard code — fabricate one shard's view (its
+    # local block with ghost bands pre-filled the halo-exchange way) and
+    # pin the slab-mode kernel output bit-equal to the same kernel
+    # reading pre-written ghost bands, with the slab run's own bands
+    # POISONED (zeroed) to prove the kernel never reads them.
+    from armon_tpu.ops.pallas.sweep import (fused_sweep_ip, fused_cycle,
+                                            slab_bc_y_ok, slab_bc_x_ok)
+    from armon_tpu.ops.eos import update_eos
+    from armon_tpu.ops.boundary import boundary_conditions
+    from armon_tpu.core.solver import make_init
+    from armon_tpu.utils.enums import Axis
+    import jax.numpy as jnp
+
+    def shard0_views(N, P, axis):
+        """(cfg_shard, filled_fields, poisoned_fields, slabs) for shard 0
+        of an N-over-P split along `axis` — built WITHOUT a mesh from the
+        global single-device state."""
+        pg = ArmonParameters(test="Sod_circ", N=N, data_type=np.float32,
+                             maxcycle=1, silent=5, measure_time=False,
+                             write_output=False)
+        ps = ArmonParameters(test="Sod_circ", N=N, P=P,
+                             data_type=np.float32, maxcycle=1, silent=5,
+                             measure_time=False, write_output=False)
+        cfg = ps.config
+        g = cfg.nghost
+        state = update_eos(pg.config, make_init(pg)())
+        state = boundary_conditions(pg.config, state, axis)
+        arr_ax = 0 if axis is Axis.Y else 1
+        size = cfg.local_shape[0] if axis is Axis.Y else cfg.local_shape[1]
+        filled, poisoned, lo, hi = [], [], [], []
+        for v in ("rho", "u", "v", "E"):
+            a = np.asarray(jax.device_get(getattr(state, v)))
+            blk = a[:size] if arr_ax == 0 else a[:, :size]
+            filled.append(jnp.asarray(blk))
+            sl_lo = blk[:g] if arr_ax == 0 else blk[:, :g]
+            sl_hi = blk[size - g:] if arr_ax == 0 else blk[:, size - g:]
+            lo.append(sl_lo)
+            hi.append(sl_hi)
+            pz = blk.copy()
+            if arr_ax == 0:
+                pz[:g] = 0.0
+                pz[size - g:] = 0.0
+            else:
+                pz[:, :g] = 0.0
+                pz[:, size - g:] = 0.0
+            poisoned.append(jnp.asarray(pz))
+        slabs = (jnp.stack(lo), jnp.stack(hi))
+        return cfg, filled, poisoned, slabs
+
+    dtp = np.float32(1e-4)
+    cfgy, fy, py_, sy_ = shard0_views((256, 512), (1, 2), Axis.Y)
+    assert slab_bc_y_ok(cfgy, fy[0].shape)
+    ref = fused_sweep_ip(cfgy, Axis.Y, *fy, dtp)
+    got = fused_sweep_ip(cfgy, Axis.Y, *py_, dtp, slab=sy_)
+    same = all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(ref[:5], got[:5]))
+    check("sharded-Y slab splice == pre-filled ghosts (compiled Mosaic)",
+          bool(same and np.array_equal(np.asarray(ref[5]),
+                                       np.asarray(got[5]))))
+
+    cfgx, fx, px_, sx_ = shard0_views((512, 256), (2, 1), Axis.X)
+    assert slab_bc_x_ok(cfgx)
+    ref = fused_sweep_ip(cfgx, Axis.X, *fx, dtp)
+    got = fused_sweep_ip(cfgx, Axis.X, *px_, dtp, slab=sx_)
+    same = all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(ref[:5], got[:5]))
+    check("sharded-X slab splice == pre-filled ghosts (compiled Mosaic)",
+          bool(same and np.array_equal(np.asarray(ref[5]),
+                                       np.asarray(got[5]))))
+
+    # Pair kernel, sharded-Y slabs (flat-X mirror stays in-kernel): the
+    # poisoned run must reproduce the pre-filled run bit-exactly.
+    ref = fused_cycle(cfgy, True, *fy, dtp, dtp, in_place=True,
+                      inline_bc_x=True)
+    got = fused_cycle(cfgy, True, *py_, dtp, dtp, in_place=True,
+                      inline_bc_x=True, slab=sy_)
+    same = all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(ref[:6], got[:6]))
+    check("pair-kernel sharded-Y slab splice (compiled Mosaic)", bool(same))
+
     import bench
     v, el, ran = bench.bench(n=2048, dtype=np.float32, cycles=100)
     check("throughput sanity 2048^2", v > 1.2e9, f"{v:.3e} cells/s")
