@@ -94,6 +94,30 @@ def main():
             assert np.array_equal(blocks2[coords][v], blocks3[coords][v]), \
                 (coords, v)
 
+    # --- leg 3: the FUSED tier across processes (round 4) — per-sweep
+    # routing so the sharded-X exchanged-slab splice and the flat-Y
+    # in-kernel mirror both run with the ppermute crossing a process
+    # boundary. Oracle: the jnp tier on the same 2-process mesh, per-shard
+    # REAL windows at the cross-tier ulp gate (the slab tier leaves the
+    # in-array ghost bands stale by design — kernels splice the exchanged
+    # slabs instead of writing the bands back).
+    from armon_tpu.io.subdomain import shard_real_window
+
+    def tier_run(tier):
+        pt = ArmonParameters(**dict(common, maxcycle=5),
+                             kernel_tier=tier, pair_threshold=0)
+        st = armon(pt)
+        assert st.cycles == 5
+        return pt, dict(shard_coords_iter(pt, st.data))
+
+    (pj, bj), (pp, bp) = tier_run("jnp"), tier_run("pallas")
+    assert bj.keys() == bp.keys()
+    for coords in bj:
+        rs, cs, _, _ = shard_real_window(pj.config, coords)
+        for v in ("rho", "u", "v", "E"):
+            assert np.allclose(bj[coords][v][rs, cs], bp[coords][v][rs, cs],
+                               rtol=1e-11, atol=1e-13), (coords, v)
+
     print("MPOK", flush=True)
 
 
