@@ -250,12 +250,17 @@ def _source_regions(geom, g, nx, ny, coords):
             yield gr, gc, br, bc
 
 
-def _window_from_shards(path, params, geom, r0, r1, c0, c1, meta_box):
+def _window_from_shards(path, params, geom, r0, r1, c0, c1, meta_box,
+                        zcache=None):
     """Assemble ONE window [r0:r1, c0:c1) of the globally-padded state
     frame from the source snapshot files, reading only the shards that
     intersect it — host memory stays O(window + one source block), never
     O(global). Returns {field: (r1-r0, c1-c0) array}. `meta_box` is a
-    one-element list accumulating/checking the scalars across files."""
+    one-element list accumulating/checking the scalars across files.
+    `zcache` (optional {spath: NpzFile}) keeps source files open across
+    windows of one reshard so each file's zip directory and scalar check
+    run once, not once per intersecting target block; the caller owns
+    closing the cached handles."""
     cfg = params.config
     g = cfg.nghost
     nx, ny = cfg.n_global
@@ -283,15 +288,22 @@ def _window_from_shards(path, params, geom, r0, r1, c0, c1, meta_box):
             if not os.path.exists(spath):
                 solver_error("config",
                              f"checkpoint shard file {spath} not found")
-            with np.load(spath, allow_pickle=False) as z:
-                m = _check_scalars(z, params, spath)
-                if meta_box[0] is None:
-                    meta_box[0] = m
-                elif m[:3] != meta_box[0][:3]:
-                    solver_error("config",
-                                 f"checkpoint shard {spath} carries "
-                                 f"different scalars than the first one: "
-                                 f"{m} != {meta_box[0]}")
+            z = zcache.get(spath) if zcache is not None else None
+            fresh = z is None
+            if fresh:
+                z = np.load(spath, allow_pickle=False)
+                if zcache is not None:
+                    zcache[spath] = z
+            try:
+                if fresh:
+                    m = _check_scalars(z, params, spath)
+                    if meta_box[0] is None:
+                        meta_box[0] = m
+                    elif m[:3] != meta_box[0][:3]:
+                        solver_error("config",
+                                     f"checkpoint shard {spath} carries "
+                                     f"different scalars than the first "
+                                     f"one: {m} != {meta_box[0]}")
                 for v in State._fields:
                     blk = z[f"field_{v}"]
                     for (gr, gc, br, bc) in regions:
@@ -300,6 +312,9 @@ def _window_from_shards(path, params, geom, r0, r1, c0, c1, meta_box):
                         out[v][ir0 - r0:ir1 - r0, ic0 - c0:ic1 - c0] = \
                             blk[br[0] + ir0 - gr[0]:br[0] + ir1 - gr[0],
                                 bc[0] + ic0 - gc[0]:bc[0] + ic1 - gc[0]]
+            finally:
+                if zcache is None:
+                    z.close()
     return out
 
 
@@ -319,6 +334,7 @@ def _reshard_load(path, params, geom):
     nx, ny = cfg.n_global
     gr_rows, gr_cols = ny + 2 * g, nx + 2 * g
     meta_box = [None]
+    zcache = {}  # one open NpzFile per source shard across ALL windows
 
     def target_block(row0, col0, lr_t, lc_t):
         """Padded target block whose global-frame origin is (row0, col0):
@@ -327,42 +343,48 @@ def _reshard_load(path, params, geom):
         r1 = min(row0 + lr_t, gr_rows)
         c1 = min(col0 + lc_t, gr_cols)
         win = _window_from_shards(path, params, geom, row0, r1, col0, c1,
-                                  meta_box)
+                                  meta_box, zcache=zcache)
         sy, sx = row0 + lr_t - r1, col0 + lc_t - c1
         if sy or sx:
             win = {v: np.pad(a, ((0, sy), (0, sx)), mode="edge")
                    for v, a in win.items()}
         return win
 
-    if not cfg.spmd:
-        import jax as _jax
-        win = target_block(0, 0, gr_rows, gr_cols)
-        state = State(*[_jax.device_put(win[v]) for v in State._fields])
-        return (state,) + meta_box[0]
+    try:
+        if not cfg.spmd:
+            import jax as _jax
+            win = target_block(0, 0, gr_rows, gr_cols)
+            state = State(*[_jax.device_put(win[v]) for v in State._fields])
+            return (state,) + meta_box[0]
 
-    from jax.sharding import NamedSharding
-    from ..parallel.mesh import make_mesh, shard_state_spec
-    mesh = make_mesh(cfg.proc_dims, cfg.axis_names, devices=params.devices,
-                     reorder=params.reorder_grid)
-    sharding = NamedSharding(mesh, shard_state_spec(cfg.axis_names))
-    lr_t, lc_t = cfg.local_shape
-    px_t, py_t = cfg.proc_dims
-    nxl_t, nyl_t = cfg.n_local
-    gshape = (py_t * lr_t, px_t * lc_t)
+        from jax.sharding import NamedSharding
+        from ..parallel.mesh import make_mesh, shard_state_spec
+        mesh = make_mesh(cfg.proc_dims, cfg.axis_names,
+                         devices=params.devices,
+                         reorder=params.reorder_grid)
+        sharding = NamedSharding(mesh, shard_state_spec(cfg.axis_names))
+        lr_t, lc_t = cfg.local_shape
+        px_t, py_t = cfg.proc_dims
+        nxl_t, nyl_t = cfg.n_local
+        gshape = (py_t * lr_t, px_t * lc_t)
 
-    idx_map = sharding.addressable_devices_indices_map(gshape)
-    per_dev = {}
-    for dev, idx in idx_map.items():
-        by_t = (idx[0].start or 0) // lr_t
-        bx_t = (idx[1].start or 0) // lc_t
-        per_dev[dev] = target_block(by_t * nyl_t, bx_t * nxl_t, lr_t, lc_t)
+        idx_map = sharding.addressable_devices_indices_map(gshape)
+        per_dev = {}
+        for dev, idx in idx_map.items():
+            by_t = (idx[0].start or 0) // lr_t
+            bx_t = (idx[1].start or 0) // lc_t
+            per_dev[dev] = target_block(by_t * nyl_t, bx_t * nxl_t,
+                                        lr_t, lc_t)
 
-    fields = []
-    for v in State._fields:
-        arrs = [jax.device_put(per_dev[dev][v], dev) for dev in idx_map]
-        fields.append(jax.make_array_from_single_device_arrays(
-            gshape, sharding, arrs))
-    return (State(*fields),) + meta_box[0]
+        fields = []
+        for v in State._fields:
+            arrs = [jax.device_put(per_dev[dev][v], dev) for dev in idx_map]
+            fields.append(jax.make_array_from_single_device_arrays(
+                gshape, sharding, arrs))
+        return (State(*fields),) + meta_box[0]
+    finally:
+        for z in zcache.values():
+            z.close()
 
 
 def _load_per_shard(path, params):

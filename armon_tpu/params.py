@@ -51,8 +51,11 @@ def _init_distributed(coordinator_address, num_processes, process_id):
     a DIFFERENT coordinator after initialization is a config error."""
     import jax
     if jax.distributed.is_initialized():
-        from jax._src import distributed as _dist  # best-effort mismatch check
-        prev = getattr(_dist.global_state, "coordinator_address", None)
+        try:  # best-effort mismatch check (private module; may move)
+            from jax._src import distributed as _dist
+            prev = getattr(_dist.global_state, "coordinator_address", None)
+        except Exception:
+            prev = None
         if prev not in (None, coordinator_address):
             solver_error("config",
                          f"jax.distributed is already initialized with "

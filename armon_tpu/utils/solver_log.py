@@ -65,8 +65,9 @@ class SolverLog:
         if self.sections:
             tot = sum(self.sections.values())
             out["sections"] = dict(self.sections)
-            out["section_shares"] = {k: v / tot
-                                     for k, v in self.sections.items()}
+            out["section_shares"] = ({k: v / tot
+                                      for k, v in self.sections.items()}
+                                     if tot else {})
             # probes re-jit the sub-steps over the final state: honest
             # SHARES, but not additive to the fused in-loop cycle time
             out["sections_source"] = "probe"
@@ -79,7 +80,8 @@ class SolverLog:
             secs = {k: v["seconds"] for k, v in self.trace_sections.items()}
             tot = sum(secs.values())
             out["sections"] = secs  # {kernel: seconds}, like the probe form
-            out["section_shares"] = {k: v / tot for k, v in secs.items()}
+            out["section_shares"] = ({k: v / tot for k, v in secs.items()}
+                                     if tot else {})
             out["trace_kernels"] = dict(self.trace_sections)  # + call counts
             out["sections_source"] = "trace"
         return out

@@ -48,8 +48,9 @@ def _device_lines(xspace):
     executor lines ('tf_XLAEigen/...' thread pool, 'tf_XLAPjRtCpuClient/...'
     client thread) — the compile lines ('tf_xla-...-codegen') and the
     python line are not executions."""
-    device_planes = [p for p in xspace.planes
-                     if p.name.startswith("/device:") and p.lines]
+    device_planes = sorted((p for p in xspace.planes
+                            if p.name.startswith("/device:") and p.lines),
+                           key=lambda p: p.name)
     if device_planes:
         # One plane only: SPMD kernels run on every device concurrently,
         # so summing across planes would multiply each kernel's in-loop

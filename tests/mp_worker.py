@@ -108,7 +108,8 @@ def main():
                              kernel_tier=tier, pair_threshold=0)
         st = armon(pt)
         assert st.cycles == 5
-        return pt, dict(shard_coords_iter(pt, st.data))
+        return pt, dict(shard_coords_iter(pt, st.data,
+                                          vars=("rho", "u", "v", "E", "p")))
 
     (pj, bj), (pp, bp) = tier_run("jnp"), tier_run("pallas")
     assert bj.keys() == bp.keys()

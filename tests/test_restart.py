@@ -290,9 +290,9 @@ def test_reshard_load_is_windowed(tmp_path, monkeypatch):
     windows = []
     orig = restart._window_from_shards
 
-    def spy(path, params, geom, r0, r1, c0, c1, meta_box):
+    def spy(path, params, geom, r0, r1, c0, c1, meta_box, **kw):
         windows.append((r1 - r0, c1 - c0))
-        return orig(path, params, geom, r0, r1, c0, c1, meta_box)
+        return orig(path, params, geom, r0, r1, c0, c1, meta_box, **kw)
 
     monkeypatch.setattr(restart, "_window_from_shards", spy)
     state, t, cycles, dt_prev, lm = load_checkpoint(ckpt, p2)
