@@ -106,11 +106,20 @@ def _mesh_and_specs(params):
     return mesh, state_spec, P()
 
 
-def _shard(params, fn, in_specs, out_specs):
+def _shard(params, fn, in_specs, out_specs, donate=None):
     """Wrap `fn` in shard_map over the params' mesh."""
     mesh, _, _ = _mesh_and_specs(params)
+    kw = {} if donate is None else {"donate_argnums": donate}
     return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs, check_vma=False))
+                                 out_specs=out_specs, check_vma=False), **kw)
+
+
+def _carry_spec(params):
+    """shard_map pytree spec for the fused tier's 5-field FusedCarry."""
+    from .step import FusedCarry
+    from ..parallel.mesh import shard_state_spec
+    spec = shard_state_spec(params.config.axis_names)
+    return FusedCarry(*([spec] * len(FusedCarry._fields)))
 
 
 def make_init(params):
@@ -135,6 +144,139 @@ def make_init(params):
         return _shard(params, init_shard, in_specs=(), out_specs=state_spec)
 
     return _cached(params, "init", build)
+
+
+def make_init_fused(params):
+    """Jitted LEAN initial-condition builder for the fused tier: ONE
+    program running init_test + the cycle-0 EOS (`src/solver.jl:291-295`)
+    + the CFL seed reduction, returning only the 5 live `FusedCarry`
+    fields and the seed scalar. x/y/c/g/ustar/pstar are program-internal
+    (XLA frees them at their last use) and never become device-resident —
+    the fused-tier memory diet that lets the literal 16384² flagship fit
+    one 16 GB chip (VERDICT r4 #2). Bit-identical to `make_init` +
+    cycle-0 EOS + the fused seed of `make_time_loop`: same traced ops."""
+    cfg = params.config
+    from .step import FusedCarry
+    from ..ops.reductions import dt_cfl_min, pmin_dt
+    T = np.dtype(cfg.dtype).type
+
+    def build():
+        def init5(global_pos=(0, 0)):
+            state = init_state(cfg, global_pos=global_pos)
+            if cfg.maxcycle > 0:
+                state = update_eos(cfg, state)
+            if cfg.cst_dt:
+                seed = jnp.asarray(T(np.finfo(cfg.dtype).max))
+            else:
+                seed = dt_cfl_min(cfg, state)
+                if cfg.spmd:
+                    seed = pmin_dt(seed, cfg.axis_names)
+            return (FusedCarry(state.rho, state.u, state.v, state.E,
+                               state.p), seed)
+
+        if not cfg.spmd:
+            return jax.jit(lambda: init5())
+
+        def init_shard():
+            from jax import lax
+            ix = lax.axis_index(cfg.axis_names[0])
+            iy = lax.axis_index(cfg.axis_names[1])
+            return init5((ix * cfg.n_local[0], iy * cfg.n_local[1]))
+
+        _, _, rep = _mesh_and_specs(params)
+        return _shard(params, init_shard, in_specs=(),
+                      out_specs=(_carry_spec(params), rep))
+
+    return _cached(params, "init_fused", build)
+
+
+def make_jit_loop_lean(params):
+    """The lean fused-tier loop program (`step.make_time_loop_lean`):
+    (carry, t0, cycle0, dt0, local0) -> (carry, t, cycles, dt_last, lm, ok)
+    with only the 5 live fields crossing the program boundary."""
+    cfg = params.config
+
+    def build():
+        from .step import make_time_loop_lean
+        loop = make_time_loop_lean(cfg)
+        if not cfg.spmd:
+            return jax.jit(loop)
+        _, _, rep = _mesh_and_specs(params)
+        cspec = _carry_spec(params)
+        return _shard(params, loop,
+                      in_specs=(cspec, rep, rep, rep, rep),
+                      out_specs=(cspec, rep, rep, rep, rep, rep))
+
+    return _cached(params, "loop_lean", build)
+
+
+def make_rehydrate(params):
+    """Full `State` from a lean run's final `FusedCarry`: re-runs the
+    (deterministic) init + cycle-0 EOS for the fields the fused loop never
+    touches — bit-identical to the non-lean path's pass-through (x/y and
+    ustar/pstar=0 from init, c/g from the cycle-0 EOS over the INITIAL
+    fields, exactly what the full-state fused driver leaves behind). The
+    carry is donated so the 11-field output peaks at ~11 resident field
+    buffers, not 16 (the donation is a no-op on backends that ignore it,
+    e.g. CPU)."""
+    cfg = params.config
+
+    def build():
+        def rehy(fs, global_pos=(0, 0)):
+            st = init_state(cfg, global_pos=global_pos)
+            if cfg.maxcycle > 0:
+                st = update_eos(cfg, st)
+            return st._replace(rho=fs.rho, u=fs.u, v=fs.v, E=fs.E, p=fs.p)
+
+        if not cfg.spmd:
+            return jax.jit(rehy, donate_argnums=0)
+
+        def shard_fn(fs):
+            from jax import lax
+            ix = lax.axis_index(cfg.axis_names[0])
+            iy = lax.axis_index(cfg.axis_names[1])
+            return rehy(fs, (ix * cfg.n_local[0], iy * cfg.n_local[1]))
+
+        _, state_spec, _ = _mesh_and_specs(params)
+        return _shard(params, shard_fn, in_specs=(_carry_spec(params),),
+                      out_specs=state_spec, donate=0)
+
+    return _cached(params, "rehydrate", build)
+
+
+def make_conservation_lean(params):
+    """`make_conservation` over a FusedCarry (rho/E are all it reads) —
+    the lean driver's mass/energy check without rehydrating the state."""
+    cfg = params.config
+    from ..ops.reductions import conservation_scalar
+
+    def build():
+        if not cfg.spmd:
+            dev = jax.jit(lambda s: conservation_vars(cfg, s))
+        else:
+            def cons(state):
+                from jax import lax
+                m, e = conservation_vars(cfg, state)
+                if np.dtype(cfg.dtype).itemsize == 4:
+                    for ax in cfg.axis_names:
+                        m = lax.all_gather(m, ax)
+                        e = lax.all_gather(e, ax)
+                    return m, e
+                m = lax.psum(m, cfg.axis_names)
+                e = lax.psum(e, cfg.axis_names)
+                return m, e
+
+            _, _, rep = _mesh_and_specs(params)
+            dev = _shard(params, cons, in_specs=(_carry_spec(params),),
+                         out_specs=(rep, rep))
+
+        def call(state):
+            m, e = dev(state)
+            return conservation_scalar(cfg, m), conservation_scalar(cfg, e)
+
+        return call
+
+    return _cached(params, "conservation_lean", build)
 
 
 def make_conservation(params):
@@ -709,10 +851,21 @@ def armon(params: ArmonParameters, checkpoint=None,
     solver_log = SolverLog(cfg.n_global[0] * cfg.n_global[1]) \
         if params.log_blocks else None
 
+    use_python_loop = (params.silent <= 1 or params.animation_step != 0
+                       or params.compare or checkpoint is not None
+                       or solver_log is not None or params.checkpoint_step != 0)
+    # Lean fused driver (the capacity-limit memory diet, VERDICT r4 #2):
+    # fresh jit-driver fused runs carry only the 5 live fields; the full
+    # State exists transiently inside the init/rehydrate programs only.
+    from .step import use_fused_tier
+    lean = (not use_python_loop and restore_from is None
+            and use_fused_tier(cfg))
+
     t_start = time.perf_counter()
     restored = None
     state = None
-    with section("init", timer, sync_args=lambda: state,
+    fs = local0 = None
+    with section("init", timer, sync_args=lambda: fs if lean else state,
                  time_async=params.time_async):
         if restore_from is not None:
             from ..io.restart import load_checkpoint
@@ -721,19 +874,21 @@ def armon(params: ArmonParameters, checkpoint=None,
             restored = (cfg.dtype.type(r_t), np.int32(r_cycles),
                         cfg.dtype.type(r_dt),
                         None if r_lm is None else cfg.dtype.type(r_lm))
+        elif lean:
+            fs, local0 = jax.block_until_ready(make_init_fused(params)())
         else:
             init_fn = make_init(params)
             state = jax.block_until_ready(init_fn())
 
     if params.check_result or params.silent <= 1:
         with section("conservation_vars", timer):
-            m, e = make_conservation(params)(state)
+            if lean:
+                m, e = make_conservation_lean(params)(fs)
+            else:
+                m, e = make_conservation(params)(state)
             params.initial_mass, params.initial_energy = float(m), float(e)
 
     solve_start = time.perf_counter()
-    use_python_loop = (params.silent <= 1 or params.animation_step != 0
-                       or params.compare or checkpoint is not None
-                       or solver_log is not None or params.checkpoint_step != 0)
     if params.compare and checkpoint is None:
         checkpoint = make_file_checkpoint(params)
 
@@ -744,6 +899,16 @@ def armon(params: ArmonParameters, checkpoint=None,
             state, final_t, cycles, last_dt = _python_cycle_driver(
                 params, state, checkpoint=checkpoint, solver_log=solver_log,
                 restored=restored)
+        elif lean:
+            T = cfg.dtype.type
+            loop = make_jit_loop_lean(params)
+            fs, t, cycles, last_dt, final_lm, ok = loop(
+                fs, T(0.0), np.int32(0), T(0.0), local0)
+            params._final_local_min = float(np.asarray(final_lm))
+            params._ran_fused = True
+            final_t, cycles, last_dt = float(t), int(cycles), float(last_dt)
+            if not bool(ok):
+                solver_error("time", f"Invalid time step at cycle {cycles}")
         else:
             loop = make_jit_loop(params, restore=restored is not None)
             if restored is not None:
@@ -754,7 +919,6 @@ def armon(params: ArmonParameters, checkpoint=None,
             else:
                 state, t, cycles, last_dt, final_lm, ok = loop(state)
             params._final_local_min = float(np.asarray(final_lm))
-            from .step import use_fused_tier
             params._ran_fused = use_fused_tier(cfg)
             # On some PJRT backends block_until_ready does not synchronize;
             # a host read does.
@@ -763,6 +927,18 @@ def armon(params: ArmonParameters, checkpoint=None,
                 solver_error("time", f"Invalid time step at cycle {cycles}")
 
     solve_time = time.perf_counter() - solve_start
+
+    if lean:
+        # Rebuild the full State only when something downstream reads it;
+        # a measurement run (no outputs, no checks) never materializes the
+        # 11-field state at all.
+        need_state = (params.return_data or params.write_output
+                      or params.write_slices
+                      or (params.check_result and params.test.is_conservative
+                          and cycles > 0))
+        if need_state:
+            state = jax.block_until_ready(make_rehydrate(params)(fs))
+        fs = None
 
     if solver_log is not None and cycles > 0:
         # Per-section breakdown of the cycle (the `analyse_log_stats`

@@ -250,6 +250,28 @@ def fused_cycle_step(cfg, state, pair, dt, cycle_strips=None):
             strips_out)
 
 
+def pair_routing_on(cfg) -> bool:
+    """Whether the whole-cycle pair kernel routes this config: the
+    `pair_threshold` crossover on the LOCAL extent AND the mesh not
+    sharded along X. On a sharded-X mesh the pair kernel cannot splice
+    the X-exchanged ghost lanes in-kernel (its carried strip halo rows
+    would need per-chunk slab strips — 12 more operands), so it keeps 8
+    full-array dynamic-update-slice write-backs per cycle where the
+    per-sweep routing runs ZERO fill thunks (`slab_bc_x_ok` splice).
+    Measured single-chip pricing (BENCH_NOTES round 4): the fill thunks
+    cost ~25% of cycle time at 1000² — the scale where pair routing
+    engages — vs the pair kernel's 4-5% launch saving, so per-sweep
+    strictly dominates there; routing is gated accordingly (VERDICT r4
+    #5) and the zero-DUS program shape is pinned for BOTH routings on
+    even meshes (tests/test_mesh.py::test_fused_mesh_slab_fills).
+    Reference analog: the one-kernel bidirectional exchange
+    `src/halo_exchange.jl:39-115`."""
+    if not (cfg.pair_threshold > 0
+            and max(cfg.n_local) <= cfg.pair_threshold):
+        return False
+    return not (cfg.spmd and cfg.proc_dims[0] > 1)
+
+
 def cycle_strips_on(cfg) -> bool:
     """Whether the pair-kernel path loop-carries its halo side strips
     (emitted by each cycle's kernel for the next — no XLA `_halo_strips`
@@ -260,8 +282,7 @@ def cycle_strips_on(cfg) -> bool:
     Strang's, would advance the state after the emission and stale the
     strips)."""
     from ..ops.pallas.sweep import cycle_strip_plan
-    if not (cfg.pair_threshold > 0
-            and max(cfg.n_local) <= cfg.pair_threshold):
+    if not pair_routing_on(cfg):
         return False
     even, odd = split_schedules(cfg.splitting)
     for sched in (even, odd):
@@ -301,9 +322,10 @@ def run_schedule_fused(cfg, state, schedule, dt, cycle_strips=None):
     # max(n_local) — the LOCAL shard extent — on meshes too: the pair
     # kernel saves no collective rounds (both paths exchange each ghost
     # band once per cycle), so the same launch-vs-recompute tradeoff
-    # governs. <= 0 = per-sweep everywhere.
-    pair_cycles = (cfg.pair_threshold > 0
-                   and max(cfg.n_local) <= cfg.pair_threshold)
+    # governs. <= 0 = per-sweep everywhere. Sharded-X meshes always route
+    # per-sweep (`pair_routing_on`: the pair kernel would keep the DUS
+    # X-exchange write-backs the per-sweep slab splice eliminated).
+    pair_cycles = pair_routing_on(cfg)
     can_emit = (not pair_cycles
                 and strip_emission_plan(cfg, cfg.local_shape) is not None)
     strips = None
@@ -355,6 +377,46 @@ def solver_cycle_fused(cfg, state, dt_prev, cycle, local_min,
         from ..ops.reductions import pmin_dt
         new_min = pmin_dt(new_min, cfg.axis_names)
     return state, dt_use, dt_next, new_min, strips, ok
+
+
+def make_time_loop_lean(cfg):
+    """Fused-tier time loop over the 5-field `FusedCarry` ONLY — the
+    capacity-limit memory diet (VERDICT r4 #2): x/y/c/g/ustar/pstar never
+    enter the program, so a 16384² f32 run is ~10 resident field buffers
+    (~10.7 GB) instead of 16+ (OOM on the 16 GB chip). The cycle-0 EOS
+    init and the CFL seed run inside the INIT program
+    (`solver.make_init_fused`), which hands over (carry, local0); a
+    restored run would pass its saved carry minimum (currently restores
+    keep the full-state path). Bit-identical to `make_time_loop`'s fused
+    branch: same `solver_cycle_fused` trace, same strip seeding.
+
+    Signature: (fs, t0, cycle0, dt0, local0)
+            -> (fs, t, cycles, dt_last, lm, ok)."""
+    T = np.dtype(cfg.dtype).type
+    maxtime = T(cfg.maxtime)
+    maxcycle = np.int32(cfg.maxcycle)
+    assert use_fused_tier(cfg)
+    strips_on = cycle_strips_on(cfg)
+
+    def loop(fs, t0, cycle0, dt0, local0):
+        def cond(carry):
+            _, _, t, cycle, _, _, ok = carry
+            return (t < maxtime) & (cycle < maxcycle) & ok
+
+        def body(carry):
+            fs, strips, t, cycle, dt_prev, local_min, _ = carry
+            fs, dt_use, dt_next, local_min, strips, ok = \
+                solver_cycle_fused(cfg, fs, dt_prev, cycle, local_min,
+                                   cycle_strips=strips)
+            return (fs, strips, t + dt_use, cycle + 1, dt_next,
+                    local_min, ok)
+
+        strips0 = seed_cycle_strips(cfg, fs) if strips_on else None
+        carry = (fs, strips0, t0, cycle0, dt0, local0, jnp.asarray(True))
+        fs, _, t, cycles, dt_last, lm, ok = lax.while_loop(cond, body, carry)
+        return fs, t, cycles, dt_last, lm, ok
+
+    return loop
 
 
 def make_time_loop(cfg, restore=False):

@@ -177,6 +177,14 @@ def memory_required(n_local: Tuple[int, int], nghost: int, itemsize: int,
         "per_device_transient_bytes": transients,
         "per_device_halo_bytes": halo,
         "per_device_total_bytes": state + transients + halo,
+        # LEAN fused tier (core/solver.py make_init_fused /
+        # make_jit_loop_lean): only the 5 carry fields cross the loop
+        # program's boundary; the high-water model is carry-in (held by
+        # the caller) + the loop's double-buffered carry slots = 2x5
+        # arrays plus the halo slabs. Validated on chip at 16384^2 f32
+        # (BENCH_CONFIGS.md row 5): fits the 16 GB device where the
+        # 11-field path cannot.
+        "per_device_fused_total_bytes": 2 * carry_fields * field + halo,
     }
 
 

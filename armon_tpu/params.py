@@ -372,11 +372,17 @@ class ArmonParameters:
         return self._config
 
     def memory_required(self) -> dict:
-        """Byte accounting, analog of `src/blocking/block_grid.jl:598-709`."""
+        """Byte accounting, analog of `src/blocking/block_grid.jl:598-709`.
+        Reports BOTH tiers: `per_device_total_bytes` is the jnp/full-state
+        footprint (11 resident fields + measured loop transients);
+        `per_device_fused_total_bytes` is the lean fused-tier driver
+        (5-field carry, VERDICT r4 #2)."""
         from .parallel.blocking import memory_required as _mem
         mem = _mem(self.n_local, self.nghost, self.data_type.itemsize,
                    n_fields=len(State._fields))
-        mem["total_bytes"] = mem["per_device_total_bytes"] * self.P[0] * self.P[1]
+        n_dev = self.P[0] * self.P[1]
+        mem["total_bytes"] = mem["per_device_total_bytes"] * n_dev
+        mem["fused_total_bytes"] = mem["per_device_fused_total_bytes"] * n_dev
         return mem
 
     def __repr__(self):
@@ -412,7 +418,9 @@ class ArmonParameters:
             + (", fast-math divides" if self.use_fast_math else
                ", strict IEEE"),
             f" - mesh:       {self.P[0]}x{self.P[1]} devices, "
-            f"{mem['per_device_total_bytes'] / 1e6:.1f} MB/device",
+            f"{mem['per_device_total_bytes'] / 1e6:.1f} MB/device "
+            f"({mem['per_device_fused_total_bytes'] / 1e6:.1f} MB lean "
+            f"fused)",
         ]
         return "\n".join(lines)
 

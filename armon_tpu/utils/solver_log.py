@@ -14,6 +14,18 @@ import math
 from dataclasses import dataclass, field
 from typing import List
 
+# XLA device-kernel names that are cross-device communication — the
+# MPI-wait-fraction analog (`analyse_log_stats`' stop/wait shares,
+# src/logging.jl:75-300). ppermute lowers to collective-permute; the
+# reductions to all-reduce / all-gather / reduce-scatter.
+_COLLECTIVE_MARKERS = ("all-reduce", "collective-permute", "all-gather",
+                       "reduce-scatter", "all-to-all")
+
+
+def _is_collective(kernel_name: str) -> bool:
+    n = kernel_name.lower()
+    return any(m in n for m in _COLLECTIVE_MARKERS)
+
 
 @dataclass
 class CycleLogEvent:
@@ -62,6 +74,22 @@ class SolverLog:
             "dt_last": self.events[-1].dt,
             "final_time": self.events[-1].t,
         }
+        if n >= 4:
+            # Cycle-time trend: per-half mean/σ and the relative drift —
+            # the reference's variance diagnostics over the run
+            # (src/logging.jl:75-300 `analyse_log_stats` σ reporting).
+            h = n // 2
+            first, second = walls[:h], walls[n - h:]
+            m1, m2 = sum(first) / h, sum(second) / h
+            out["cycle_time_trend"] = {
+                "first_half_mean": m1,
+                "second_half_mean": m2,
+                "first_half_std": math.sqrt(
+                    sum((w - m1) ** 2 for w in first) / h),
+                "second_half_std": math.sqrt(
+                    sum((w - m2) ** 2 for w in second) / h),
+                "drift": (m2 - m1) / mean if mean else 0.0,
+            }
         if self.sections:
             tot = sum(self.sections.values())
             out["sections"] = dict(self.sections)
@@ -84,6 +112,13 @@ class SolverLog:
                                      if tot else {})
             out["trace_kernels"] = dict(self.trace_sections)  # + call counts
             out["sections_source"] = "trace"
+            # Communication share of device time — the MPI-wait-fraction
+            # analog. Caveat: counts the collectives' own device time
+            # (XLA overlaps them with compute where it can), and a
+            # collective fused into a larger computation is invisible.
+            coll = sum(s for k, s in secs.items() if _is_collective(k))
+            out["collective_seconds"] = coll
+            out["collective_wait_share"] = coll / tot if tot else 0.0
         return out
 
     def __repr__(self):

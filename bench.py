@@ -68,7 +68,9 @@ def bench(n=8192, dtype=np.float32, cycles=50, tier=None, ny=None,
     if np.dtype(dtype).itemsize == 8:
         jax.config.update("jax_enable_x64", True)
     from armon_tpu import ArmonParameters
-    from armon_tpu.core.solver import make_init, make_jit_loop
+    from armon_tpu.core.solver import (make_init, make_jit_loop,
+                                       make_init_fused, make_jit_loop_lean)
+    from armon_tpu.core.step import use_fused_tier
 
     ny = ny or n
     tier = tier or os.environ.get("ARMON_BENCH_TIER", "pallas")
@@ -78,9 +80,20 @@ def bench(n=8192, dtype=np.float32, cycles=50, tier=None, ny=None,
         maxcycle=cycles, maxtime=1e30, silent=5, measure_time=False,
         kernel_tier=tier,
     )
-    init = make_init(params)
-    state = init()
-    loop = make_jit_loop(params)
+    lean = use_fused_tier(params.config)
+    if lean:
+        # The 5-field lean path: at 16384^2 f32 the loop peaks at ~10
+        # resident field buffers (~10.7 GB) instead of 16+ (OOM on the
+        # 16 GB chip) — the flagship config runs at its literal extent.
+        T = np.dtype(dtype).type
+        state, local0 = make_init_fused(params)()
+        loop_lean = make_jit_loop_lean(params)
+
+        def loop(s):
+            return loop_lean(s, T(0.0), np.int32(0), T(0.0), local0)
+    else:
+        state = make_init(params)()
+        loop = make_jit_loop(params)
 
     # Warm-up / compile. NOTE: on the axon TPU platform block_until_ready
     # does not actually synchronize — a host read of an output scalar does.

@@ -5,9 +5,11 @@ the reference's `test/mpi.jl` job. Each process owns ONE virtual CPU device
 (XLA_FLAGS set below, before jax import) so the 2-process job spans a
 global 2-device mesh with exactly one addressable shard per process.
 
-Run: python mp_worker.py <process_id> <port> <tmpdir>
-Prints MPOK as the last line on success; any assertion/exception fails the
-process and the parent test.
+Run: python mp_worker.py <process_id> <port> <tmpdir> [px py]
+(px, py) is the process grid — default (2, 1); (2, 2) runs the 4-process
+leg where BOTH mesh axes cross process boundaries (`test/mpi.jl:464-475`
+process-grid matrix analog). Prints MPOK as the last line on success; any
+assertion/exception fails the process and the parent test.
 """
 
 import os
@@ -27,6 +29,9 @@ import numpy as np  # noqa: E402
 
 def main():
     pid, port, tmpdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    px, py = (int(sys.argv[4]), int(sys.argv[5])) if len(sys.argv) > 5 \
+        else (2, 1)
+    nprocs = px * py
     from armon_tpu import ArmonParameters, armon, gather_state
     from armon_tpu.utils.errors import SolverException
     from armon_tpu.io.subdomain import (compare_sub_domain_with_golden,
@@ -37,17 +42,17 @@ def main():
     common = dict(
         test="Sod", data_type=np.float64, scheme="GAD",
         projection="euler_2nd", riemann_limiter="minmod", nghost=4,
-        N=(100, 100), P=(2, 1), maxcycle=1000,
+        N=(100, 100), P=(px, py), maxcycle=1000,
         silent=5, measure_time=False,
         coordinator_address=f"localhost:{port}",
-        num_processes=2, process_id=pid,
+        num_processes=nprocs, process_id=pid,
     )
 
     # --- leg 1: the golden config across 2 processes, per-shard output,
     # per-shard golden comparison — zero gather anywhere.
     p = ArmonParameters(**common, return_data=True, write_output=True,
                         output_dir=tmpdir, output_file="mp_out")
-    assert jax.process_count() == 2, jax.process_count()
+    assert jax.process_count() == nprocs, jax.process_count()
     assert p.use_MPI, "multi-process must auto-select per-shard I/O"
     stats = armon(p)
 

@@ -303,8 +303,10 @@ def test_fused_mesh_slab_fills(routing):
     measured byte-identical under ARMON_FORCE_XLA_FILLS, i.e. not a value
     change) and are gated ulp-tight instead. The program shape itself is
     pinned: the traced loop must contain ZERO ghost-band
-    dynamic-update-slice write-backs on even-split meshes (per-sweep
-    routing; the pair routing keeps the X-exchange write-back)."""
+    dynamic-update-slice write-backs on even-split meshes under BOTH
+    routings — pair routing re-routes per-sweep on sharded-X meshes
+    (`step.pair_routing_on`, VERDICT r4 #5), so no mesh/routing
+    combination keeps a fill thunk."""
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
     kw = {"pair_threshold": 0} if routing == "persweep" else {}
@@ -334,13 +336,21 @@ def test_fused_mesh_slab_fills(routing):
                 assert np.allclose(a, b, rtol=1e-12, atol=1e-13), \
                     f"{var} beyond ulp drift on mesh {P}"
 
-    if routing == "persweep":
-        # Program-shape gate: no ghost-band write-backs left per cycle.
-        p = reference_params("Sod_circ", np.float64, maxcycle=15, P=(2, 2),
-                             kernel_tier="pallas", **kw)
-        text = str(jax.make_jaxpr(make_jit_loop(p))(make_init(p)()))
-        assert " dynamic_update_slice[" not in text and \
-            " dynamic_update_slice " not in text
+    # Program-shape gate: no ghost-band write-backs left per cycle —
+    # in BOTH routings (pair routing falls back to per-sweep on the
+    # sharded-X (2,2) mesh, `step.pair_routing_on`).
+    p = reference_params("Sod_circ", np.float64, maxcycle=15, P=(2, 2),
+                         kernel_tier="pallas", **kw)
+    text = str(jax.make_jaxpr(make_jit_loop(p))(make_init(p)()))
+    assert " dynamic_update_slice[" not in text and \
+        " dynamic_update_slice " not in text
+    if routing == "pair":
+        # ...and the gate itself: sharded-X refuses pair, flat-X keeps it.
+        from armon_tpu.core.step import pair_routing_on
+        assert not pair_routing_on(p.config)
+        p_flat = reference_params("Sod_circ", np.float64, maxcycle=15,
+                                  P=(1, 2), kernel_tier="pallas", **kw)
+        assert pair_routing_on(p_flat.config)
 
 
 def test_dryrun_entry():

@@ -25,19 +25,21 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_golden(tmp_path):
+def _run_workers(tmp_path, px, py, timeout=900):
+    """Spawn the px*py-process worker grid; assert every process MPOKs."""
     port = _free_port()
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "mp_worker.py")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+        [sys.executable, worker, str(pid), str(port), str(tmp_path),
+         str(px), str(py)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
-        for pid in range(2)]
+        for pid in range(px * py)]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -47,6 +49,20 @@ def test_two_process_golden(tmp_path):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert out.strip().splitlines()[-1] == "MPOK", \
             f"process {pid} output:\n{out}"
+
+
+def test_four_process_grid(tmp_path):
+    """4 processes on a (2, 2) process grid — BOTH mesh axes cross process
+    boundaries (VERDICT r4 #7; the reference's process-grid matrix,
+    `test/mpi.jl:464-475`): per-shard golden output/compare, the
+    collective per-shard checkpoint + bit-exact resume, and the fused
+    tier's cross-process slab splices, all with corner-neighbor shards
+    living on four different processes."""
+    _run_workers(tmp_path, 2, 2)
+
+
+def test_two_process_golden(tmp_path):
+    _run_workers(tmp_path, 2, 1, timeout=600)
 
     # --- elastic process-count restore: the per-shard snapshot the TWO
     # processes wrote at cycle 3 (P=(2,1), one shard per process) restores

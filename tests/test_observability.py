@@ -139,3 +139,28 @@ def test_block_size_end_to_end():
     b = np.asarray(s2.data.rho)
     g = base.nghost
     assert np.allclose(a[g:-g, g:-g], b[g:-g, g:-g], rtol=1e-12, atol=0)
+
+
+def test_solver_log_trend_and_collective_share():
+    """Round-5 observability analogs (VERDICT r4 #8): per-half cycle-time
+    trend (the `analyse_log_stats` variance diagnostics,
+    src/logging.jl:75-300) and the collective-wait share (the MPI
+    wait-fraction analog) from the trace kernel table."""
+    from armon_tpu.utils.solver_log import SolverLog
+    log = SolverLog(cell_count=100)
+    for i, w in enumerate([0.010, 0.011, 0.020, 0.021]):
+        log.push(i + 1, 0.1 * (i + 1), 1e-3, w)
+    log.trace_sections = {
+        "fused_sweep_x": {"seconds": 0.06, "calls": 4},
+        "collective-permute.12": {"seconds": 0.03, "calls": 8},
+        "all-reduce.7": {"seconds": 0.01, "calls": 4},
+    }
+    a = log.analyse()
+    tr = a["cycle_time_trend"]
+    assert tr["second_half_mean"] > tr["first_half_mean"]
+    assert abs(tr["drift"] - (0.0205 - 0.0105) / a["mean_cycle_seconds"]) \
+        < 1e-12
+    assert abs(a["collective_seconds"] - 0.04) < 1e-12
+    assert abs(a["collective_wait_share"] - 0.4) < 1e-12
+    # trace shares replace probe shares and still sum to 1
+    assert abs(sum(a["section_shares"].values()) - 1.0) < 1e-9
