@@ -1006,27 +1006,32 @@ def _x_sweep_kernel(cfg, tile_r, emit_p, emit_dt, interp, variant, strips,
         # lowering into unbounded convert_element_type recursion).
         base = 4 + (1 if emit_p else 0)
         fields2 = (rho2, u2, v2, E2)
+        # single-row SMEM layout (see fused_sweep_ip): col 2i = above
+        # flag, col 2i+1 = below flag for tile i
+        ii2 = jnp.asarray(i, jnp.int32) * np.int32(2)
+        fa = flags_ref[0, ii2]
+        fb = flags_ref[0, ii2 + np.int32(1)]
 
         # above[k] = rows [k*chunk-8, k*chunk) (k>=1; k=0 is the clamped
         # placeholder rows [0,8)) — written by the tile ending on the
         # chunk boundary (local rows [tile_r-8, tile_r)), or tile 0.
-        @pl.when(flags_ref[i, 0] != 0)
+        @pl.when(fa != 0)
         def _():
             for k, f2 in enumerate(fields2):
                 rows8 = f2[tile_r - 8:] if tile_r > 8 else f2
                 if tile_r > 8:
-                    rows8 = jnp.where(flags_ref[i, 0] == 2, f2[0:8], rows8)
+                    rows8 = jnp.where(fa == 2, f2[0:8], rows8)
                 outs[base + k][:] = rows8
 
         # below[k] = rows [(k+1)*chunk, +8) (k <= nci-2; local rows [0,8)
         # of the tile starting on the boundary), plus the clamped last
         # block rows [rows-8, rows) from the final tile (flag 2).
-        @pl.when(flags_ref[i, 1] == 1)
+        @pl.when(fb == 1)
         def _():
             for k, f2 in enumerate(fields2):
                 outs[base + 4 + k][:] = f2[0:8] if tile_r > 8 else f2
 
-        @pl.when(flags_ref[i, 1] == 2)
+        @pl.when(fb == 2)
         def _():
             for k, f2 in enumerate(fields2):
                 outs[base + 4 + k][:] = f2[tile_r - 8:] if tile_r > 8 else f2
@@ -1269,10 +1274,15 @@ def fused_sweep_ip(cfg, axis, rho, u, v, E, dt, n_real=None,
             flags[nci_x - 1, 1] = 2
             # one whole-array SMEM block (per-tile blocks violate the
             # Mosaic block-shape divisibility rule); the kernel indexes it
-            # with the program id
-            extra_in_specs = [pl.BlockSpec((nci_x, 2), lambda i: _im(0, 0),
+            # with the program id. Laid out as ONE row: SMEM windows pad
+            # every ROW to 512 bytes, so the (nci_x, 2) shape allocates
+            # 512*nci_x bytes and blows the 1 MiB SMEM at nci_x >= 2048
+            # (found by the literal 16384² run, round 5); the (1, 2*nci_x)
+            # layout is 8*nci_x bytes.
+            extra_in_specs = [pl.BlockSpec((1, 2 * nci_x),
+                                           lambda i: _im(0, 0),
                                            memory_space=pltpu.SMEM)]
-            extra_args = [jnp.asarray(flags)]
+            extra_args = [jnp.asarray(flags.reshape(1, 2 * nci_x))]
 
             # All-int32 map arithmetic: under jax_enable_x64 the traced
             # grid index is i64 and Mosaic's scalar lowering recurses
@@ -1808,3 +1818,218 @@ def fused_cycle(cfg, x_first, rho, u, v, E, dt_x, dt_y, n_real=None,
         strips_out = (tuple(out[5:9]), tuple(out[9:13]))
         return rho2, u2, v2, E2, p_st, dt_min, strips_out
     return rho2, u2, v2, E2, p_st, dt_min
+
+
+# ------------------------------------------- temporal-blocked multicycle
+
+def multicycle_geom_ok(cfg, shape) -> bool:
+    """Whether the K-cycles-per-launch kernel (`fused_multicycle`) admits
+    this grid — the launch-latency amortization for tiny grids (VERDICT r4
+    #6; the TPU analog of the reference's async block machine keeping
+    small work fed, `src/solver.jl:58-179`). Requirements:
+
+    - single device (the mesh halo exchange cannot run mid-kernel) with
+      both mirror fills inlineable (`inline_bc_x_ok` + the Y splice
+      geometry of the nci == 1 case: rows >= max(8, 3g), g <= 8);
+    - ONE tile: the whole padded block rides VMEM for all K cycles. The
+      byte cap bounds the unrolled chain's scoped-VMEM footprint
+      (~40-60 live (rows+8, cols) values through a sweep chain; 256 KiB
+      per buffer keeps that under ~16 MiB);
+    - the f32 cycle counter crosses the kernel boundary as a float:
+      maxcycle must stay exactly representable."""
+    if cfg.spmd or _FORCE_XLA_FILLS:
+        return False
+    g = cfg.nghost
+    rows, cols = shape
+    if g > 8 or rows < max(8, 3 * g) or not inline_bc_x_ok(cfg):
+        return False
+    itemsize = np.dtype(cfg.dtype).itemsize
+    if (rows + 8) * (-(-cols // 128) * 128) * itemsize > 256 * 1024:
+        return False
+    if itemsize == 4 and cfg.maxcycle >= (1 << 24):
+        return False
+    return True
+
+
+def _mc_ext(a, g, rows, f_lo, f_hi):
+    """(rows + 8)-row halo extension of one padded field with the Y mirror
+    ghost rows refreshed in place — the nci == 1 specialization of
+    `_halo_cat_bc` (4 dead halo rows each side; ghost row k mirrors real
+    row k times the per-variable factor, `src/halo_exchange.jl:2-36`).
+    The dead rows reuse arbitrary in-array rows: the sweep stencil (<= 4)
+    cannot carry them past the g >= 4 fresh ghost rows into real cells."""
+    T = a.dtype.type
+
+    def flip_rows(x):
+        return jnp.concatenate(
+            [x[k:k + 1] for k in range(x.shape[0] - 1, -1, -1)], 0)
+
+    lo = flip_rows(a[g:2 * g])
+    if f_lo != 1.0:
+        lo = lo * T(f_lo)
+    hi = flip_rows(a[rows - 2 * g:rows - g])
+    if f_hi != 1.0:
+        hi = hi * T(f_hi)
+    return jnp.concatenate([a[:4], lo, a[g:rows - g], hi, a[rows - 4:]], 0)
+
+
+def _multicycle_kernel(cfg, pairs, interp, variant,
+                       t_ref, cyc_ref, dtp_ref, lm_ref,
+                       rho_ref, u_ref, v_ref, E_ref, p_ref,
+                       rho_o, u_o, v_o, E_o, p_o, scal_o):
+    """K = len(pairs) cycles in ONE kernel launch (single-tile grids).
+
+    Everything the per-cycle driver does between launches runs in-kernel,
+    bit-identically: the dt recurrence (`core/timestep.dt_update` — same
+    scalar ops in the same order), both mirror ghost fills per cycle, the
+    two sweeps (same `_sweep_math` trace as `_cycle_kernel`), the CFL
+    reduction (max/min are exactly associative, so the in-kernel scalar
+    reduction equals `_dt_tile_min` + `_dt_from_tiles` bitwise), and the
+    stop conditions — a cycle whose (t < maxtime) & (cycle < maxcycle) &
+    ok predicate fails passes every carry through unchanged, so a K-batch
+    overrunning the run's end is exact, not approximate."""
+    T = np.dtype(cfg.dtype).type
+    g = cfg.nghost
+    nx, ny = cfg.n_local
+    maxtime = T(cfg.maxtime)
+    maxcycle = np.int32(cfg.maxcycle)
+    div = _make_div(cfg, interp)
+    (_, offy), lo_fs, hi_fs = _bc_y_spec(cfg, rho_ref.shape[0],
+                                         rho_ref.shape[0])
+    gx, nxs, lo_x, hi_x = _bc_x_spec(cfg)
+
+    t = t_ref[0, 0]
+    cyc = cyc_ref[0, 0]
+    dtp = dtp_ref[0, 0]
+    lm = lm_ref[0, 0]
+    ok = jnp.asarray(True)
+    rho, u, v, E, p = rho_ref[:], u_ref[:], v_ref[:], E_ref[:], p_ref[:]
+    rows = rho.shape[0]
+
+    def shx(a, k):
+        return jnp.roll(a, -k, 1) if k else a
+
+    def shy(a, k):
+        return jnp.roll(a, -k, 0) if k else a
+
+    shp = rho.shape
+    rI = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    cI = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+    real = ((rI >= g) & (rI < g + ny) & (cI >= g) & (cI < g + nx))
+    zero = T(0.0)
+
+    for x_first, fx, fy in pairs:
+        run = (t < maxtime) & (cyc < maxcycle) & ok
+        # --- dt recurrence (core/timestep.dt_update, bitwise)
+        if cfg.cst_dt:
+            dt_use = T(cfg.Dt)
+            dt_next = dt_use
+            okk = jnp.asarray(True)
+        else:
+            first = dtp == zero
+            cand = jnp.where(first, T(cfg.cfl) * lm,
+                             jnp.minimum(T(cfg.cfl) * lm, T(1.05) * dtp))
+            if cfg.dt_on_even_cycles:
+                recompute = ((cyc % 2) == 0) | first
+                dt_next = jnp.where(recompute, cand, dtp)
+            else:
+                dt_next = cand
+            dt_use = jnp.where(first, dt_next, dtp)
+            okk = jnp.isfinite(dt_next) & (dt_next > zero)
+
+        # --- ghost fills (Y mirror splice then X lane mirror, the
+        # `_cycle_kernel` inline order — corner products commute bitwise)
+        re_ = _mc_ext(rho, g, rows, lo_fs[0], hi_fs[0])
+        ue = _mc_ext(u, g, rows, lo_fs[1], hi_fs[1])
+        ve = _mc_ext(v, g, rows, lo_fs[2], hi_fs[2])
+        Ee = _mc_ext(E, g, rows, lo_fs[3], hi_fs[3])
+        re_ = _bc_x_apply(re_, gx, nxs, lo_x[0], hi_x[0])
+        ue = _bc_x_apply(ue, gx, nxs, lo_x[1], hi_x[1])
+        ve = _bc_x_apply(ve, gx, nxs, lo_x[2], hi_x[2])
+        Ee = _bc_x_apply(Ee, gx, nxs, lo_x[3], hi_x[3])
+
+        dtx = dt_use * T(fx)
+        dty = dt_use * T(fy)
+        if x_first:
+            rho1, u1, v1, E1, _, _ = _sweep_math(
+                cfg, shx, dtx, T(cfg.dx), re_, ue, ve, Ee, div,
+                need_c=False, slope_shift=True, variant=variant)
+            rho2, v2, u2, E2, p_st, c_st = _sweep_math(
+                cfg, shy, dty, T(cfg.dy), rho1, v1, u1, E1, div,
+                slope_shift=True, variant=variant)
+        else:
+            rho1, v1, u1, E1, _, _ = _sweep_math(
+                cfg, shy, dty, T(cfg.dy), re_, ve, ue, Ee, div,
+                need_c=False, slope_shift=True, variant=variant)
+            rho2, u2, v2, E2, p_st, c_st = _sweep_math(
+                cfg, shx, dtx, T(cfg.dx), rho1, u1, v1, E1, div,
+                slope_shift=True, variant=variant)
+
+        sl = slice(4, 4 + rows)
+        # --- CFL min of the post-cycle state (== _dt_tile_min +
+        # _dt_from_tiles: max/min are exactly associative)
+        mx = jnp.max(jnp.where(real, jnp.abs(u2[sl]) + c_st[sl], zero))
+        my = jnp.max(jnp.where(real, jnp.abs(v2[sl]) + c_st[sl], zero))
+        lm_new = jnp.minimum(T(cfg.dx) / mx, T(cfg.dy) / my)
+
+        # --- commit (no-op when this cycle is past the run's end)
+        rho = jnp.where(run, rho2[sl], rho)
+        u = jnp.where(run, u2[sl], u)
+        v = jnp.where(run, v2[sl], v)
+        E = jnp.where(run, E2[sl], E)
+        p = jnp.where(run, p_st[sl], p)
+        t = jnp.where(run, t + dt_use, t)
+        cyc = jnp.where(run, cyc + np.int32(1), cyc)
+        dtp = jnp.where(run, dt_next, dtp)
+        lm = jnp.where(run, lm_new, lm)
+        ok = jnp.where(run, okk, ok)
+
+    rho_o[:], u_o[:], v_o[:], E_o[:], p_o[:] = rho, u, v, E, p
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    okf = jnp.where(ok, T(1.0), T(0.0))
+    cycf = cyc.astype(cfg.dtype)  # exact: maxcycle < 2^24 gated
+    scal_o[:] = jnp.where(
+        r8 == 0, t, jnp.where(r8 == 1, dtp, jnp.where(
+            r8 == 2, lm, jnp.where(r8 == 3, okf, cycf))))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pairs", "interpret",
+                                             "variant"))
+def fused_multicycle(cfg, rho, u, v, E, p, t, cyc, dt_prev, lm,
+                     pairs=(), interpret=False, variant=""):
+    """K-cycles-per-launch wrapper (see `_multicycle_kernel`). `pairs` is
+    the static per-cycle ((x_first, fx, fy), ...) schedule starting at an
+    EVEN cycle index (the driver guarantees launches stay even-aligned).
+    Returns (rho, u, v, E, p, t, cyc, dt_prev, lm, ok)."""
+    rows, cols = rho.shape
+    from ...parallel.blocking import VMEM_BUDGET
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
+    full = pl.BlockSpec((rows, cols), lambda i: _im(0, 0),
+                        memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: _im(0, 0), memory_space=pltpu.SMEM)
+    kernel = functools.partial(_multicycle_kernel, cfg, tuple(pairs),
+                               interpret, variant)
+    args = [jnp.asarray(t, cfg.dtype).reshape(1, 1),
+            jnp.asarray(cyc, jnp.int32).reshape(1, 1),
+            jnp.asarray(dt_prev, cfg.dtype).reshape(1, 1),
+            jnp.asarray(lm, cfg.dtype).reshape(1, 1),
+            rho, u, v, E, p]
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[smem] * 4 + [full] * 5,
+        out_specs=[full] * 5 + [pl.BlockSpec((8, 128), lambda i: _im(0, 0),
+                                             memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((rows, cols), cfg.dtype)] * 5
+        + [jax.ShapeDtypeStruct((8, 128), cfg.dtype)],
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        compiler_params=cparams,
+        interpret=interpret,
+    )(*args)
+    rho2, u2, v2, E2, p2, blk = out
+    t2 = blk[0, 0]
+    dtp2 = blk[1, 0]
+    lm2 = blk[2, 0]
+    ok2 = blk[3, 0] != 0
+    cyc2 = blk[4, 0].astype(jnp.int32)
+    return rho2, u2, v2, E2, p2, t2, cyc2, dtp2, lm2, ok2

@@ -267,6 +267,12 @@ class ArmonParameters:
         import os as _os
         self.pair_threshold = int(o.pop(
             "pair_threshold", _os.environ.get("ARMON_PAIR_THRESHOLD", 2048)))
+        # Temporal blocking (fused tier): K cycles per kernel launch on
+        # launch-latency-bound tiny grids (single device, single-tile —
+        # `ops/pallas/sweep.multicycle_geom_ok` gates admissibility).
+        # Default from ARMON_TEMPORAL_K; <= 1 disables.
+        self.temporal_blocking = int(o.pop(
+            "temporal_blocking", _os.environ.get("ARMON_TEMPORAL_K", 8)))
 
     def _init_profiling(self, o):
         """src/parameters.jl:532-575. Known profilers: 'trace'
@@ -368,6 +374,7 @@ class ArmonParameters:
                 block_size=tuple(self.block_size) if self.block_size else None,
                 fast_math=self.use_fast_math,
                 pair_threshold=self.pair_threshold,
+                temporal_blocking=self.temporal_blocking,
             )
         return self._config
 
