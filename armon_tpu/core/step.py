@@ -379,6 +379,36 @@ def solver_cycle_fused(cfg, state, dt_prev, cycle, local_min,
     return state, dt_use, dt_next, new_min, strips, ok
 
 
+def temporal_pairs(cfg):
+    """Static per-cycle ((x_first, fx, fy), ...) schedule for the
+    K-cycles-per-launch kernel, or None when temporal blocking does not
+    apply (`multicycle_geom_ok` geometry; exactly one X/Y pair per cycle
+    in both schedules; K forced even when the schedules alternate so
+    launches stay even-cycle-aligned — the lean driver always starts at
+    cycle 0 and a launch advances 0..K cycles, stopping exactly at the
+    run's end, so alignment is preserved)."""
+    K = cfg.temporal_blocking
+    if K <= 1 or not use_fused_tier(cfg):
+        return None
+    from ..ops.pallas.sweep import multicycle_geom_ok
+    if not multicycle_geom_ok(cfg, cfg.local_shape):
+        return None
+    even, odd = split_schedules(cfg.splitting)
+    for sched in (even, odd):
+        if len(sched) != 2 or {sched[0][0], sched[1][0]} != {Axis.X, Axis.Y}:
+            return None
+    if even != odd:
+        K -= K % 2
+        if K < 2:
+            return None
+    pairs = []
+    for k in range(K):
+        (a0, f0), (a1, f1) = even if k % 2 == 0 else odd
+        xf = a0 is Axis.X
+        pairs.append((xf, f0 if xf else f1, f1 if xf else f0))
+    return tuple(pairs)
+
+
 def make_time_loop_lean(cfg):
     """Fused-tier time loop over the 5-field `FusedCarry` ONLY — the
     capacity-limit memory diet (VERDICT r4 #2): x/y/c/g/ustar/pstar never
@@ -396,6 +426,35 @@ def make_time_loop_lean(cfg):
     maxtime = T(cfg.maxtime)
     maxcycle = np.int32(cfg.maxcycle)
     assert use_fused_tier(cfg)
+    pairs = temporal_pairs(cfg)
+    if pairs is not None:
+        # Temporal blocking: K cycles per kernel launch (launch-bound tiny
+        # grids — VERDICT r4 #6). The dt recurrence, ghost fills, CFL
+        # reduction and stop conditions all run in-kernel, bit-identical
+        # to the one-cycle path (`ops/pallas/sweep._multicycle_kernel`).
+        from ..ops.pallas.sweep import fused_multicycle
+        interp = _pallas_interpret(cfg)
+
+        def loop(fs, t0, cycle0, dt0, local0):
+            def cond(carry):
+                _, t, cyc, _, _, ok = carry
+                return (t < maxtime) & (cyc < maxcycle) & ok
+
+            def body(carry):
+                fs, t, cyc, dtp, lm, _ = carry
+                out = fused_multicycle(
+                    cfg, fs.rho, fs.u, fs.v, fs.E, fs.p, t, cyc, dtp, lm,
+                    pairs=pairs, interpret=interp, variant=_SWEEP_VARIANT)
+                fs = FusedCarry(*out[:5])
+                t, cyc, dtp, lm, ok = out[5:]
+                return (fs, t, cyc, dtp, lm, ok)
+
+            carry = (fs, t0, cycle0, dt0, local0, jnp.asarray(True))
+            fs, t, cycles, dt_last, lm, ok = lax.while_loop(cond, body,
+                                                            carry)
+            return fs, t, cycles, dt_last, lm, ok
+
+        return loop
     strips_on = cycle_strips_on(cfg)
 
     def loop(fs, t0, cycle0, dt0, local0):

@@ -141,11 +141,22 @@ def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True, variant=""):
         rho0 = T(10000.0); K0 = T(1e11); Cv0 = T(1000.0); T0 = T(300.0)
         eps0 = T(0.0); G0 = T(1.5); s = T(1.5)
         q = T(-42080895.0 / 14941154.0); r = T(727668333.0 / 149411540.0)
+        # 'bizraw' (A/B knob, round 5): drop the two Newton refinements —
+        # raw VPU reciprocals are ~2^-12 relative, amplified through the
+        # rational chain to ~1e-4-class EOS error; admissible only if the
+        # 5e-3 hardware golden gate (scripts/tpu_validate.py) still holds.
+        raw = "bizraw" in variant
         r_rho = pl.reciprocal(rho, approx=True)
-        r_rho = r_rho * (2.0 - rho * r_rho)
+        if not raw:
+            r_rho = r_rho * (2.0 - rho * r_rho)
         x = rho * T(1.0 / 10000.0) - 1
         x2 = x * x
-        over_sx = _div_shared(div, 1 - s * x)
+        if raw:
+            den = 1 - s * x
+            r_den = pl.reciprocal(den, approx=True)
+            over_sx = lambda a: a * r_den
+        else:
+            over_sx = _div_shared(div, 1 - s * x)
         k = T(s / 3 - 2)
         f0 = over_sx(((r * x + q) * x + k) * x + 1)
         f1 = over_sx((3 * r * x + 2 * q) * x + k + s * f0)

@@ -14,7 +14,7 @@ import jax
 
 from conftest import reference_params, ref_file, abs_tol, rel_tol
 
-from armon_tpu import armon, Axis
+from armon_tpu import ArmonParameters, armon, Axis
 from armon_tpu.io.output import read_reference_csv, compare_states
 from armon_tpu.core.solver import gather_state, make_init, make_cycle
 
@@ -324,3 +324,63 @@ def test_pallas_ragged_heights(N):
         a = getattr(h1, var)[g:-g, g:-g]
         b = getattr(h2, var)[g:-g, g:-g]
         assert np.allclose(a, b, rtol=1e-12, atol=1e-14), f"{N} {var}"
+
+
+@pytest.mark.parametrize("split", ["Sequential", "Godunov"])
+def test_temporal_blocking_matches_one_cycle(split):
+    """K-cycles-per-launch (`fused_multicycle`, the launch-latency
+    amortization for tiny grids — the reference keeps small work fed via
+    its async block machine, src/solver.jl:58-179) vs the one-cycle pair
+    path: identical cycle count, final time and dt recurrence behavior,
+    state at the ulp gate. The runs are bitwise for the first cycles;
+    the residual (~5e-16 f64 by cycle 20) is the documented CPU-backend
+    program-shape FMA-contraction artifact (CLAUDE.md invariant-2
+    caveat): NaN-poisoning the halo extension's dead rows leaves the
+    diff byte-unchanged (checked round 5), so it is a value-dependent
+    rounding edge, not stencil contamination. Coverage: a guarded tail
+    (maxcycle % K != 0), a mid-batch maxtime stop, dt_on_even_cycles
+    and cst_dt recurrences in-kernel."""
+    def run(tb, maxcycle, **kw2):
+        kw = dict(test="Sod", N=(64, 64), data_type=np.float64,
+                  scheme="GAD", projection="euler_2nd",
+                  riemann_limiter="minmod", nghost=4, maxcycle=maxcycle,
+                  silent=5, measure_time=False, kernel_tier="pallas",
+                  return_data=True, axis_splitting=split,
+                  temporal_blocking=tb)
+        kw.update(kw2)
+        return armon(ArmonParameters(**kw))
+
+    from armon_tpu.core.step import temporal_pairs
+    p = reference_params("Sod", np.float64, N=(64, 64),
+                         kernel_tier="pallas")
+    assert temporal_pairs(p.config) is not None
+
+    for mc, kw2 in ((20, {}),                      # guarded tail (20 % 8)
+                    (9, dict(dt_on_even_cycles=True)),
+                    (7, dict(cst_dt=True, Dt=1e-4)),
+                    (1000, dict(maxtime=0.05))):   # mid-batch maxtime stop
+        a, b = run(8, mc, **kw2), run(0, mc, **kw2)
+        assert a.cycles == b.cycles, (mc, a.cycles, b.cycles)
+        assert a.final_time == b.final_time, (mc, kw2)
+        assert np.isclose(a.last_dt, b.last_dt, rtol=1e-12, atol=0), mc
+        for v in ("rho", "u", "v", "E", "p"):
+            x = np.asarray(getattr(a.data, v))[4:-4, 4:-4]
+            y = np.asarray(getattr(b.data, v))[4:-4, 4:-4]
+            assert np.allclose(x, y, rtol=1e-12, atol=1e-13), (mc, v)
+
+
+def test_temporal_blocking_divergence_aborts():
+    """A blown-up run (cfl >> stable) must stop with the pointed time
+    error through the in-kernel ok gate, exactly like the one-cycle
+    path."""
+    from armon_tpu.utils.errors import SolverException
+    # cfl=3: ~3x the stable dt — NaN develops within a few cycles while t
+    # is still far from maxtime (a huge cfl would instead overshoot
+    # maxtime in one finite step and stop cleanly, masking the gate).
+    kw = dict(test="Sod", N=(64, 64), data_type=np.float64, scheme="GAD",
+              projection="euler_2nd", riemann_limiter="minmod", nghost=4,
+              maxcycle=200, silent=5, measure_time=False,
+              kernel_tier="pallas", cfl=3.0)
+    for tb in (8, 0):
+        with pytest.raises(SolverException, match="time"):
+            armon(ArmonParameters(**kw, temporal_blocking=tb))
