@@ -6,6 +6,8 @@ the kernel math against regressions on inputs the physics tests never reach.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: deselect with -m "not slow"
+
 import jax
 
 from conftest import reference_params

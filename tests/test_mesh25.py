@@ -5,6 +5,9 @@ process provides; run it in a dedicated 25-virtual-device subprocess."""
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: deselect with -m "not slow"
 
 
 def test_mesh25_matrix():

@@ -18,6 +18,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: deselect with -m "not slow"
+
 
 def _free_port():
     with socket.socket() as s:

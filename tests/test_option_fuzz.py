@@ -21,6 +21,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: deselect with -m "not slow"
+
 import jax
 
 from armon_tpu import ArmonParameters
