@@ -16,11 +16,20 @@ test-fast: native
 # End-of-round gate (VERDICT r4 #1): the FULL suite must be green on the
 # tree being snapshotted — an unexecuted test must never ship. Run this
 # before the final commit of a round; it fails loudly if anything is red.
+# The graft-contract legs force the CPU platform BEFORE any backend init
+# (the axon TPU plugin overrides JAX_PLATFORMS, and a backend pinned by a
+# prior jit cannot be switched — entry() before dryrun_multichip() in one
+# process would pin the TPU and the 8-device virtual mesh would fail),
+# and run in separate processes so neither leg inherits the other's init.
 endround: native
 	python -m pytest tests/ -q
-	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-	  python -c "import __graft_entry__ as g; g.entry(); g.dryrun_multichip(8)"
-	@echo "ENDROUND GATE: suite green + graft contracts importable"
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  python -c "import jax; jax.config.update('jax_platforms', 'cpu'); \
+	             import __graft_entry__ as g; g.entry()"
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  python -c "import jax; jax.config.update('jax_platforms', 'cpu'); \
+	             import __graft_entry__ as g; g.dryrun_multichip(8)"
+	@echo "ENDROUND GATE: suite green + graft contracts OK"
 
 bench:
 	python bench.py

@@ -115,13 +115,17 @@ def _limiter(name, r):
 
 
 def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True, variant=""):
-    """Returns (p, rho*c, c). The acoustic impedance rho*c is what the
+    """Returns (p, rho*c, c, r_rho). The acoustic impedance rho*c is what the
     Riemann solve and theta-blend actually consume (`src/riemann_schemes.jl:
     21-30,76-80`); c itself is only needed by the CFL reduction. Under
     fast_math with need_c=False the impedance is formed directly —
     sqrt(gamma*p*rho) instead of rho*sqrt(gamma*p/rho), saving a division
     (~1 ulp apart; exact-IEEE mode always computes c so golden runs keep
-    the reference expression bitwise). c is None when skipped."""
+    the reference expression bitwise). c is None when skipped. `r_rho` is
+    the Newton-refined reciprocal of rho when the EOS already formed one
+    (the Bizarrium fast chain) — the Lagrangian update reuses it for
+    dt/dm = (dt/dx)*r_rho, dropping that whole reciprocal chain (round 5;
+    None whenever the EOS has no refined reciprocal to share)."""
     if div is None:
         div = _EXACT_DIV
     fast = div is not _EXACT_DIV
@@ -194,10 +198,15 @@ def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True, variant=""):
         q = T(-42080895.0 / 14941154.0); r = T(727668333.0 / 149411540.0)
         if fast and "eosref" not in variant:
             p, sq, r_rho = _biz_fast()
+            # share r_rho with the Lagrangian dt/dm only when it carries
+            # the Newton refinement (under 'bizraw' it is the 2^-12 raw
+            # reciprocal — correction-grade, not update-grade).
+            rr = (None if ("bizraw" in variant or "nodtr" in variant)
+                  else r_rho)
             if not need_c:
-                return p, sq, None
+                return p, sq, None, rr
             c = sq * r_rho
-            return p, sq, c
+            return p, sq, c, rr
         x = rho / rho0 - 1
         G = G0 * (1 - div(rho0, rho))
         # f0, f1 and the pk0prime inner term all divide by the SAME
@@ -216,9 +225,9 @@ def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True, variant=""):
         p = pk0 + G0 * rho0 * (e - epsk0)
         sq = jnp.sqrt(G0 * rho0 * (p - pk0) - pk0prime)
         if fast and not need_c:
-            return p, sq, None  # rho * (sq/rho) == sq up to 2 ulp
+            return p, sq, None, None  # rho * (sq/rho) == sq up to 2 ulp
         c = div(sq, rho)
-        return p, rho * c, c
+        return p, rho * c, c, None
     gm = T(cfg.gamma)
     e = E - 0.5 * (u ** 2 + v ** 2)
     p = (gm - T(1.0)) * rho * e
@@ -233,13 +242,13 @@ def _eos_prc(cfg, T, rho, u, v, E, div=None, need_c=True, variant=""):
         tiny = T(1e-30)
         p = p + tiny * pb
         if not need_c:
-            return p, jnp.sqrt(gm * p * rho) + tiny * sqb, None
+            return p, jnp.sqrt(gm * p * rho) + tiny * sqb, None, None
         c = jnp.sqrt(div(gm * p, rho)) + tiny * sqb
-        return p, rho * c, c
+        return p, rho * c, c, None
     if fast and not need_c:
-        return p, jnp.sqrt(gm * p * rho), None
+        return p, jnp.sqrt(gm * p * rho), None, None
     c = jnp.sqrt(div(gm * p, rho))
-    return p, rho * c, c
+    return p, rho * c, c, None
 
 
 def _make_div_correction(div):
@@ -314,8 +323,8 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
                 rho, jnp.ones_like(rho))
 
     # EOS (src/kernels.jl:4-13) — from the input (pre-sweep) state.
-    p, rc, c = _eos_prc(cfg, T, rho, uax, uot, E, div, need_c=need_c,
-                        variant=variant)
+    p, rc, c, r_rho = _eos_prc(cfg, T, rho, uax, uot, E, div, need_c=need_c,
+                               variant=variant)
 
     # Cell mass (src/kernels.jl:60) — hoisted: the GAD theta term reads it
     # and its -1 shift (sh is a permutation, so sh(dm) == sh(rho)*dx bitwise).
@@ -375,7 +384,16 @@ def _sweep_math(cfg, sh, dt, dx, rho, uax, uot, E, div=None, need_c=True,
     # upwind shifts (permutations commute with elementwise math, bitwise).
     dX = dx + dt * (us_p - ustar)
     rho1 = div(dm, dX)
-    dt_dm = div(dt, dm)
+    if r_rho is not None:
+        # dt/dm = dt/(rho*dx) = (dt/dx) * (1/rho): dt/dx is one exact
+        # scalar op (dt traced, dx a trace-time constant), and the EOS
+        # already holds the Newton-refined 1/rho — same ~1 ulp class as
+        # div(dt, dm), one whole vector reciprocal chain fewer per cell
+        # on the stiff-EOS path ('nodtr' in ARMON_SWEEP_VARIANT restores
+        # the direct divide for A/Bs).
+        dt_dm = (dt * (T(1.0) / dx)) * r_rho
+    else:
+        dt_dm = div(dt, dm)
     uax1 = uax + dt_dm * (pstar - ps_p)
     E1 = E + dt_dm * (pstar * ustar - ps_p * us_p)
 
