@@ -310,9 +310,15 @@ def test_bizarrium_fast_eos_algebra(seed, monkeypatch):
     v = jnp.asarray(rng.uniform(-800.0, 800.0, shape))
     E = jnp.asarray(rng.uniform(3.0e5, 9.0e5, shape))
 
-    p1, rc1, c1 = sweep_mod._eos_prc(cfg, T, rho, u, v, E, div, need_c=True)
-    p2, rc2, c2 = sweep_mod._eos_prc(cfg, T, rho, u, v, E, div, need_c=True,
-                                     variant="eosref")
+    p1, rc1, c1, rr1 = sweep_mod._eos_prc(cfg, T, rho, u, v, E, div,
+                                          need_c=True)
+    p2, rc2, c2, _ = sweep_mod._eos_prc(cfg, T, rho, u, v, E, div,
+                                        need_c=True, variant="eosref")
+    # The restructured chain also exports its refined 1/rho for the
+    # Lagrangian dt/dm reuse (round 5) — ~1 ulp of an exact reciprocal.
+    assert rr1 is not None
+    rel_rr = np.max(np.abs(np.asarray(rr1) * np.asarray(rho) - 1.0))
+    assert rel_rr < 1e-12, f"shared 1/rho off: {rel_rr:.2e}"
 
     # Some random states are genuinely unphysical (sound speed^2 < 0 in
     # the stiff EOS -> NaN through the sqrt); both chains must agree on
