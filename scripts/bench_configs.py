@@ -32,7 +32,9 @@ def run_config(name, test, n, cycles, dtype, tier, fast=True):
         # measure f32 math (arrays downcast with only a warning).
         jax.config.update("jax_enable_x64", True)
     from armon_tpu import ArmonParameters
-    from armon_tpu.core.solver import make_init, make_jit_loop
+    from armon_tpu.core.solver import (make_init, make_jit_loop,
+                                       make_init_fused, make_jit_loop_lean)
+    from armon_tpu.core.step import use_fused_tier
 
     N = n if isinstance(n, tuple) else (n, n)
     p = ArmonParameters(
@@ -40,8 +42,18 @@ def run_config(name, test, n, cycles, dtype, tier, fast=True):
         projection="euler_2nd", riemann_limiter="minmod", nghost=4,
         maxcycle=cycles, maxtime=1e30, silent=5, measure_time=False,
         kernel_tier=tier, use_fast_math=fast)
-    state = make_init(p)()
-    loop = make_jit_loop(p)
+    if use_fused_tier(p.config):
+        # The lean 5-field driver, same as bench.py: it is what lets the
+        # literal 16384^2 row fit one 16 GB chip (~10.7 GB vs 16+ OOM).
+        T = np.dtype(dtype).type
+        state, local0 = make_init_fused(p)()
+        loop_lean = make_jit_loop_lean(p)
+
+        def loop(s):
+            return loop_lean(s, T(0.0), np.int32(0), T(0.0), local0)
+    else:
+        state = make_init(p)()
+        loop = make_jit_loop(p)
     out = loop(state)
     _ = float(np.asarray(out[1]))  # sync (block_until_ready may not)
 
@@ -96,13 +108,15 @@ def main():
         ("2a. Sod_circ 1000^2", "Sod_circ", 1000, 8000),
         ("2b. Sod_y 1000^2", "Sod_y", 1000, 8000),
         ("3. Sedov 2000^2", "Sedov", 2000, 2000),
-        ("4. Bizarrium 4000^2", "Bizarrium", 4000, 450),
-        ("5. Sod 8192^2 (largest single-chip)", "Sod", 8192, 150),
-        # Config 5's 16384-cell extent on ONE chip: 16384^2 f32 needs ~17 GB
-        # (12288^2 already OOMs — measured); a 16384x4096 strip fits (~5 GB
-        # by memory_required) and exercises the tile planner, halo strips
-        # and the X-sweep width at the target extent.
-        ("5b. Sod 16384x4096 strip (16384 extent)", "Sod", (16384, 4096), 150),
+        ("4. Bizarrium 4000^2", "Bizarrium", 4000, 600),
+        ("4b. Sod 4000^2 (stiff-premium base)", "Sod", 4000, 600),
+        ("5. Sod 8192^2", "Sod", 8192, 150),
+        # Config 5 at its LITERAL extent on one chip: the lean 5-field
+        # fused driver brings 16384^2 f32 to ~10.7 GB resident (it OOMs
+        # through the 11-field path) — round-5, BENCH_NOTES.
+        ("5b. Sod 16384^2 (flagship extent, lean driver)", "Sod",
+         16384, 150),
+        ("5c. Sod 16384x4096 strip", "Sod", (16384, 4096), 150),
     ]
 
     results = []
