@@ -858,8 +858,7 @@ def armon(params: ArmonParameters, checkpoint=None,
     # fresh jit-driver fused runs carry only the 5 live fields; the full
     # State exists transiently inside the init/rehydrate programs only.
     from .step import use_fused_tier
-    lean = (not use_python_loop and restore_from is None
-            and use_fused_tier(cfg))
+    lean = not use_python_loop and use_fused_tier(cfg)
 
     t_start = time.perf_counter()
     restored = None
@@ -874,6 +873,23 @@ def armon(params: ArmonParameters, checkpoint=None,
             restored = (cfg.dtype.type(r_t), np.int32(r_cycles),
                         cfg.dtype.type(r_dt),
                         None if r_lm is None else cfg.dtype.type(r_lm))
+            # Resume through the SAME lean fused driver a fresh run uses —
+            # fresh-vs-resumed bit-exactness requires the same compiled
+            # program (the multicycle and per-cycle programs contract FMAs
+            # differently on the CPU backend, ~1 ulp by cycle 20). Needs
+            # the saved CFL carry; under temporal blocking the resume
+            # cycle must also be EVEN so the K-launch even/odd schedule
+            # mapping matches a from-cycle-0 run. Otherwise fall back to
+            # the full-state restore loop.
+            from .step import FusedCarry, temporal_pairs
+            lean = (lean and r_lm is not None
+                    and (temporal_pairs(cfg) is None
+                         or int(r_cycles) % 2 == 0))
+            if lean:
+                fs = FusedCarry(state.rho, state.u, state.v, state.E,
+                                state.p)
+                local0 = cfg.dtype.type(r_lm)
+                state = None
         elif lean:
             fs, local0 = jax.block_until_ready(make_init_fused(params)())
         else:
@@ -902,8 +918,13 @@ def armon(params: ArmonParameters, checkpoint=None,
         elif lean:
             T = cfg.dtype.type
             loop = make_jit_loop_lean(params)
-            fs, t, cycles, last_dt, final_lm, ok = loop(
-                fs, T(0.0), np.int32(0), T(0.0), local0)
+            if restored is not None:
+                r_t, r_c, r_dt, _ = restored
+                fs, t, cycles, last_dt, final_lm, ok = loop(
+                    fs, r_t, r_c, r_dt, local0)
+            else:
+                fs, t, cycles, last_dt, final_lm, ok = loop(
+                    fs, T(0.0), np.int32(0), T(0.0), local0)
             params._final_local_min = float(np.asarray(final_lm))
             params._ran_fused = True
             final_t, cycles, last_dt = float(t), int(cycles), float(last_dt)
