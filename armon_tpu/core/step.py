@@ -416,8 +416,10 @@ def make_time_loop_lean(cfg):
     (~10.7 GB) instead of 16+ (OOM on the 16 GB chip). The cycle-0 EOS
     init and the CFL seed run inside the INIT program
     (`solver.make_init_fused`), which hands over (carry, local0); a
-    restored run would pass its saved carry minimum (currently restores
-    keep the full-state path). Bit-identical to `make_time_loop`'s fused
+    restored run passes its saved carry minimum and resumes through this
+    same loop when it can (saved CFL carry present, and an even resume
+    cycle under temporal blocking — `solver.armon`), else it falls back
+    to the full-state restore loop. Bit-identical to `make_time_loop`'s fused
     branch: same `solver_cycle_fused` trace, same strip seeding.
 
     Signature: (fs, t0, cycle0, dt0, local0)

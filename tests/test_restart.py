@@ -48,6 +48,40 @@ def test_resume_bit_exact(tier, tmp_path):
         assert np.array_equal(x, y), var
 
 
+@pytest.mark.slow
+def test_resume_odd_cycle_temporal_fallback(tmp_path):
+    """An ODD resume cycle under temporal blocking cannot reuse the lean
+    K-launch loop (its even/odd schedule mapping assumes even-cycle-aligned
+    launches — the `lean` gate in `solver.armon`), so the restore falls
+    back to the full-state per-cycle loop. The physics must still match an
+    uninterrupted run; the two compiled programs may contract FMAs
+    differently on the CPU backend (~1 ulp class, same caveat family as
+    the cross-layout note in CLAUDE.md), so the gate is ulp-tight allclose
+    rather than bit-equality."""
+    from armon_tpu.core.step import temporal_pairs
+    ref_params, ref = full_run("Sod_circ", 20, kernel_tier="pallas")
+    assert temporal_pairs(ref_params.config) is not None  # K-blocking live
+
+    p1, s1 = full_run("Sod_circ", 7, kernel_tier="pallas")
+    ckpt = tmp_path / "odd.ckpt.npz"
+    save_checkpoint(ckpt, p1, s1.data, s1.final_time, s1.cycles, s1.last_dt)
+
+    p2 = reference_params("Sod_circ", np.float64, maxcycle=20,
+                          return_data=True, kernel_tier="pallas")
+    s2 = armon(p2, restore_from=str(ckpt))
+    assert s2.cycles == ref.cycles
+    np.testing.assert_allclose(s2.final_time, ref.final_time, rtol=1e-12)
+
+    a = gather_state(ref_params, ref.data)
+    b = gather_state(p2, s2.data)
+    g = ref_params.nghost
+    for var in ("rho", "u", "v", "E"):
+        x = getattr(a, var)[g:-g, g:-g]
+        y = getattr(b, var)[g:-g, g:-g]
+        np.testing.assert_allclose(x, y, rtol=1e-12, atol=1e-13,
+                                   err_msg=var)
+
+
 def test_resume_cross_tier_fused_to_jnp(tmp_path):
     """A checkpoint saved from a FUSED-tier run restores correctly into a
     jnp-tier run: the fused kernels never write the sound speed back, so
