@@ -952,14 +952,17 @@ def armon(params: ArmonParameters, checkpoint=None,
     if lean:
         # Rebuild the full State only when something downstream reads it;
         # a measurement run (no outputs, no checks) never materializes the
-        # 11-field state at all.
+        # 11-field state at all. The final conservation check alone does
+        # NOT force a rehydrate: it reads only rho/E, which the lean carry
+        # already holds (`make_conservation_lean`, bit-identical sums) —
+        # at the 16384² capacity limit the 11-field rebuild (~11.8 GB on
+        # top of the ~5.4 GB carry) would OOM the 16 GB chip just to sum
+        # two of its fields.
         need_state = (params.return_data or params.write_output
-                      or params.write_slices
-                      or (params.check_result and params.test.is_conservative
-                          and cycles > 0))
+                      or params.write_slices)
         if need_state:
             state = jax.block_until_ready(make_rehydrate(params)(fs))
-        fs = None
+            fs = None
 
     if solver_log is not None and cycles > 0:
         # Per-section breakdown of the cycle (the `analyse_log_stats`
@@ -984,7 +987,10 @@ def armon(params: ArmonParameters, checkpoint=None,
 
     # Final conservation check (src/solver.jl:467-490)
     if params.check_result and params.test.is_conservative and cycles > 0:
-        m, e = make_conservation(params)(state)
+        if state is not None:
+            m, e = make_conservation(params)(state)
+        else:  # lean run with no other state consumer: sum over the carry
+            m, e = make_conservation_lean(params)(fs)
         dm = abs(float(m) - params.initial_mass) / params.initial_mass
         de = abs(float(e) - params.initial_energy) / params.initial_energy
         rtol = 1e-2 * min(1.0, final_t / params.test.default_max_time)

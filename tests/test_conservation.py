@@ -62,3 +62,27 @@ def test_f32_conservation_drift_measurable():
     m1, e1 = cons(state)
     assert abs(m1 - m0) / m0 <= 2e-7
     assert abs(e1 - e0) / e0 <= 2e-7
+
+
+def test_lean_check_result_never_rehydrates(monkeypatch):
+    """A lean fused-driver run whose ONLY state consumer is the final
+    conservation check must compute it over the 5-field carry
+    (`make_conservation_lean`) without rebuilding the 11-field State —
+    at the 16384² capacity limit the rehydrate (~11.8 GB on top of the
+    ~5.4 GB carry) would OOM the 16 GB chip just to sum rho and E."""
+    import warnings
+
+    import armon_tpu.core.solver as solver
+    from armon_tpu import armon
+
+    def boom(params):
+        raise AssertionError("rehydrate must not run for check_result-only")
+
+    monkeypatch.setattr(solver, "make_rehydrate", boom)
+    params = reference_params("Sod_circ", np.float64, maxcycle=20,
+                              kernel_tier="pallas", check_result=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stats = armon(params)
+    assert stats.cycles == 20
+    assert not [x for x in w if "not constant" in str(x.message)]
